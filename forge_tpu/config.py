@@ -1,0 +1,192 @@
+"""Configuration tree for forge_tpu.
+
+Mirrors the reference config system (reference: config/config.py:6-111) so the
+reference experiment YAMLs port 1:1: same section names, same field names, same
+strict unknown-key rejection (reference: config/config.py:82-101). Implemented
+as frozen dataclasses instead of a global mutable EasyDict — configs are values
+passed into jitted functions' closures, never mutated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Any, List, Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    # reference: config/config.py:20-30
+    name: str = "co3d"
+    category: str = "apple"
+    task: str = "multisequence"
+    img_size: int = 512
+    num_frame: int = 5
+    frame_interval: int = 5
+    mask_images: bool = False
+    augmentation: bool = False
+    train_all_frame: bool = False
+    train_shuffle: bool = False
+    # forge_tpu extension: root directory of the dataset on disk (the reference
+    # hardcodes absolute paths in dataset/kubric.py:44,69).
+    root: str = ""
+
+
+@dataclass(frozen=True)
+class NetworkConfig:
+    # reference: config/config.py:32-38
+    backbone: str = "resnet"
+    scale_rotate: float = 0.01
+    scale_translate: float = 0.01
+    padding_mode: str = "zeros"
+    rot_representation: str = "euler"
+    # forge_tpu extensions (TPU-first knobs; defaults preserve reference behavior)
+    compute_dtype: str = "bfloat16"   # activation dtype for conv/attention stacks
+    param_dtype: str = "float32"
+    pretrained_backbone: bool = False  # load converted torchvision weights if available
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # reference: config/config.py:40-48
+    n_pts_per_ray: int = 200
+    volume_size: float = 1.0
+    min_depth: float = 0.1
+    max_depth: float = 1.2
+    camera_z: float = 0.6
+    camera_focal: float = 250
+    k_size: int = 5
+    # forge_tpu extension: renderer backend, 'pallas' (fused kernel) or 'xla'
+    backend: str = "pallas"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    # reference: config/config.py:50-55
+    recon_rgb: float = 1.0
+    recon_mask: float = 0.2
+    perceptual_img: float = 0.0
+    regu_origin_proj: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # reference: config/config.py:57-74
+    lr: float = 0.0001
+    weight_decay: float = 0.0001
+    schedular_step: int = 10
+    schedular_gamma: float = 0.7
+    end_epoch: int = 100
+    resume: bool = False
+    batch_size: int = 16
+    snapshot_freq: int = 10
+    total_iteration: int = 200000
+    sv_pretrain: str = ""
+    use_gt_pose: bool = False
+    canonicalize: bool = True
+    accumulation_step: int = 2
+    normalize_img: bool = False
+    parameter: str = ""
+    adjust_iter_num: Tuple[int, ...] = (0,)
+    # forge_tpu extensions
+    num_devices: int = 0              # 0 = all visible devices
+    grad_clip: float = 10.0           # reference: scripts/kubric_trainer.py:22-25
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    # reference: config/config.py:76-79
+    batch_size: int = 4
+    compute_metric: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    # reference: config/config.py:8-17
+    exp_name: str = "co3d"
+    output_dir: str = "./output/"
+    log_dir: str = "./log"
+    workers: int = 8
+    print_freq: int = 100
+    vis_freq: int = 300
+    eval_vis_freq: int = 20
+    vis_density_freq: int = 10000
+    seed: int = 0
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+
+
+_SECTIONS = {
+    "dataset": DatasetConfig,
+    "network": NetworkConfig,
+    "render": RenderConfig,
+    "loss": LossConfig,
+    "train": TrainConfig,
+    "test": TestConfig,
+}
+
+
+def _coerce(cls: type, name: str, value: Any) -> Any:
+    """Coerce a YAML value to the declared dataclass field type."""
+    ftypes = {f.name: f.type for f in dataclasses.fields(cls)}
+    t = ftypes[name]
+    if t in ("Tuple[int, ...]",):
+        return tuple(int(v) for v in value)
+    return value
+
+
+def _update_section(section_obj: Any, section_name: str, overrides: dict) -> Any:
+    cls = type(section_obj)
+    valid = {f.name for f in dataclasses.fields(cls)}
+    updates = {}
+    for k, v in overrides.items():
+        if k not in valid:
+            # strict unknown-key rejection, reference: config/config.py:87
+            raise ValueError(f"{section_name}.{k} not exist in config")
+        updates[k] = _coerce(cls, k, v)
+    return replace(section_obj, **updates)
+
+
+def update_config(config_file: str, base: Optional[Config] = None) -> Config:
+    """Load a YAML experiment file over the defaults.
+
+    Same semantics as the reference loader (config/config.py:90-101): top-level
+    scalar keys override directly; section dicts merge field-by-field; unknown
+    keys raise.
+    """
+    cfg = base if base is not None else Config()
+    with open(config_file) as f:
+        exp = yaml.safe_load(f)
+    return merge_config(cfg, exp or {})
+
+
+def merge_config(cfg: Config, exp: dict) -> Config:
+    top_valid = {f.name for f in dataclasses.fields(Config)}
+    updates: dict = {}
+    for k, v in exp.items():
+        if k not in top_valid:
+            raise ValueError(f"{k} not exist in config")
+        if k in _SECTIONS:
+            updates[k] = _update_section(getattr(cfg, k), k, v or {})
+        else:
+            updates[k] = v
+    return replace(cfg, **updates)
+
+
+def gen_config(cfg: Config, config_file: str) -> None:
+    """Dump a config to YAML (reference: config/config.py:104-111)."""
+    d = dataclasses.asdict(cfg)
+    for k, v in d.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                if isinstance(vv, tuple):
+                    v[kk] = list(vv)
+    with open(config_file, "w") as f:
+        yaml.dump(d, f, default_flow_style=False)

@@ -1,0 +1,87 @@
+"""Voxel-grid coordinates and the SE(3) voxel resample ("rotate") op.
+
+Replaces the reference's `Rotate_world` module (models/rotate.py:9-156) and its
+PyTorch3D `Volumes.get_coord_grid` dependency (models/rotate.py:48-52) with two
+small functions. The resample itself rides ops/grid_sample.py.
+
+Volume convention (PyTorch3D `Volumes`, reference: models/volume_render.py:58-61):
+a size-S cubic grid of physical extent `volume_size` is centered at the world
+origin; voxel centers span +/- (S-1)/2 * voxel_size per axis, e.g. 0.484375 for
+S=32, volume_size=1.0 (reference: models/rotate.py:23).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from forge_tpu.geometry.rotations import se3_inverse
+from forge_tpu.ops.grid_sample import grid_sample_3d
+
+
+def coord_grid_max(grid_size: int, volume_size: float) -> float:
+    """Max voxel-center coordinate (reference: models/rotate.py:23)."""
+    voxel = volume_size / grid_size
+    return (grid_size - 1) * voxel / 2.0
+
+
+def volume_coord_grid(
+    grid_size: int, volume_size: float, dtype=jnp.float32
+) -> jnp.ndarray:
+    """[D, H, W, 3] world coordinates (x, y, z) of voxel centers.
+
+    x varies along W, y along H, z along D — the PyTorch3D `get_coord_grid`
+    layout consumed by torch `grid_sample` (reference: models/rotate.py:48-52).
+    """
+    voxel = volume_size / grid_size
+    half = (grid_size - 1) * voxel / 2.0
+    axis = jnp.linspace(-half, half, grid_size, dtype=dtype)
+    z, y, x = jnp.meshgrid(axis, axis, axis, indexing="ij")   # [D,H,W]
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def rotate_voxel_grids(
+    voxels: jnp.ndarray,
+    cam_poses_cv2: jnp.ndarray,
+    volume_size: float = 1.0,
+) -> jnp.ndarray:
+    """Resample views 1..t-1 into the canonical (view 0) frame.
+
+    Args:
+      voxels: [B, t, D, H, W, C] per-view feature volumes (channels-last).
+      cam_poses_cv2: [B, t, 4, 4] camera poses in the OpenCV frame.
+      volume_size: physical edge length of the cubic volume.
+
+    Returns: [B, t, D, H, W, C]; view 0 passes through unchanged.
+
+    Math (reference: models/rotate.py:64-141): with T = pose_0 @ pose_i^-1, a
+    canonical-frame voxel center p is fetched from view i's volume at T @ p,
+    normalized by the max voxel-center coordinate, sampled trilinearly with
+    zero padding and torch's align_corners=False convention.
+    """
+    B, t, D, H, W, C = voxels.shape
+    dtype = voxels.dtype
+    assert D == H == W, "cubic volumes only"
+
+    pose0 = cam_poses_cv2[:, 0:1]                                   # [B,1,4,4]
+    T = pose0 @ se3_inverse(cam_poses_cv2[:, 1:])                   # [B,t-1,4,4]
+
+    coords = volume_coord_grid(D, volume_size, jnp.float32)          # [D,H,W,3]
+    cmax = coord_grid_max(D, volume_size)
+
+    rot = T[..., :3, :3].astype(jnp.float32)
+    trans = T[..., :3, 3].astype(jnp.float32)
+    p = (
+        jnp.einsum("bvij,dhwj->bvdhwi", rot, coords)
+        + trans[:, :, None, None, None, :]
+    )                                                                # [B,t-1,D,H,W,3]
+    grid = (p / cmax).astype(dtype)
+
+    src = voxels[:, 1:].reshape(B * (t - 1), D, H, W, C)
+    sampled = grid_sample_3d(
+        src,
+        grid.reshape(B * (t - 1), D, H, W, 3),
+        align_corners=False,
+        padding_mode="zeros",
+    ).reshape(B, t - 1, D, H, W, C)
+
+    return jnp.concatenate([voxels[:, 0:1], sampled], axis=1)

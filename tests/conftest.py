@@ -1,0 +1,21 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+The reference has no test suite at all (SURVEY.md §4); multi-device behavior
+was only ever exercised on a real 8-GPU cluster. Here every test runs on a
+virtual 8-device CPU mesh so sharding/collective logic is exercised in CI
+without TPU hardware.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
