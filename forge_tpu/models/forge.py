@@ -1,0 +1,418 @@
+"""The FORGE model: few-view voxel reconstruction with pose estimation.
+
+Functional parity with the reference's two model classes:
+  - `FORGE` (models/model.py:18-148): full model with 2D+3D pose estimators
+    fused by an MLP head; renders all t_all views from the 5-view fusion.
+  - `FORGE_poseEstimator3D` (models/model_single_pose_estimator.py:14-138):
+    3D-estimator-only curriculum variant; renders 2t views — cross-renders
+    from 3-view/2-view sub-fusions plus full 5-view fusion renders.
+
+Here both forwards are methods of ONE flax module owning every submodule, so
+the reference's 9 checkpoint-surgery loaders (utils/exp_utils.py:185-422)
+reduce to named-subtree merges over a single parameter tree, and curriculum
+freezing is an optax mask plus per-submodule BatchNorm mode flags
+(`TrainFlags`, mirroring set_model_train, kubric_train_joint.py:24-43).
+
+Everything jits: the distance-sorted view reorder is argsort+gather
+(replacing the Python loop in models/model.py:161-168), and the model receives
+plain arrays — the canonical pose enters as a constant derived from config,
+not a live dataset object (the reference passes the dataset into forward,
+models/model.py:42,74).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import flax.struct
+
+from forge_tpu.config import Config
+from forge_tpu.geometry import rotations as geo
+from forge_tpu.geometry.frames import canonical_pose_cv2, canonical_extrinsics_cv2
+from forge_tpu.geometry.cameras import project_points_screen
+from forge_tpu.models.encoder import Encoder3D
+from forge_tpu.models.pose3d import PoseEstimator3D, to_se3
+from forge_tpu.models.pose2d import PoseEstimator2D
+from forge_tpu.models.renderer import VolRender, halve_intrinsics
+from forge_tpu.ops.voxel import rotate_voxel_grids
+from forge_tpu.nn.layers import leaky_relu
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class TrainFlags:
+    """Per-submodule train-mode (BatchNorm/Dropout) flags.
+
+    Mirrors the reference's set_model_train submodule freezing
+    (kubric_train_joint.py:24-43): a frozen submodule runs BN in eval mode
+    even inside a training step.
+    """
+
+    encoder_3d: bool = False
+    fusion: bool = False
+    render: bool = False
+    encoder_traj: bool = False
+    encoder_traj_2d: bool = False
+    pose_head: bool = False
+
+    @staticmethod
+    def none() -> "TrainFlags":
+        return TrainFlags()
+
+    @staticmethod
+    def for_mode(mode: str) -> "TrainFlags":
+        """Curriculum mode -> flags (reference: kubric_train_joint.py:24-44,
+        kubric_train_pose_3D.py:24-43)."""
+        if mode == "all":
+            return TrainFlags(True, True, True, True, True, True)
+        if mode == "pose":
+            return TrainFlags(encoder_traj=True, encoder_traj_2d=True, pose_head=True)
+        if mode == "pose_3d":
+            return TrainFlags(encoder_traj=True)
+        if mode == "pose_head":
+            return TrainFlags(pose_head=True)
+        if mode == "joint":
+            # traj + head + fusion + density/render heads trainable; 2D backbone
+            # of the encoder stays frozen in reference joint mode.
+            return TrainFlags(
+                encoder_3d=False, fusion=True, render=True,
+                encoder_traj=True, encoder_traj_2d=True, pose_head=True,
+            )
+        if mode in ("", "eval", "none"):
+            return TrainFlags()
+        raise ValueError(f"unknown mode {mode}")
+
+
+def sequence_from_distance(trans: jnp.ndarray) -> jnp.ndarray:
+    """Sort views by translation distance to the canonical view.
+
+    trans: [b, t, 3] -> idxs [b, t] (reference: models/model.py:152-158).
+    """
+    d = jnp.sum((trans - trans[:, 0:1]) ** 2, axis=-1)
+    return jnp.argsort(d, axis=1)
+
+
+def chose_selected(x: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
+    """Gather views per batch element (reference: models/model.py:161-168)."""
+    idx = idxs.reshape(idxs.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+class FORGE(nn.Module):
+    cfg: Config
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        r = self.cfg.render
+        self.encoder_3d = Encoder3D(name="encoder_3d", **kw)
+        self.render = VolRender(
+            img_size=self.cfg.dataset.img_size,
+            volume_size=r.volume_size,
+            n_pts_per_ray=r.n_pts_per_ray,
+            min_depth=r.min_depth,
+            max_depth=r.max_depth,
+            k_size=r.k_size,
+            backend=r.backend,
+            name="render",
+            **kw,
+        )
+        self.encoder_traj = PoseEstimator3D(
+            rot_representation=self.cfg.network.rot_representation,
+            name="encoder_traj", **kw,
+        )
+        self.encoder_traj_2d = PoseEstimator2D(name="encoder_traj_2d", **kw)
+        # reference: models/model.py:32-39
+        self.pose_head_drop = nn.Dropout(rate=0.5)
+        self.pose_head_fc1 = nn.Dense(512, name="pose_head_fc1", **kw)
+        self.pose_head_norm = nn.LayerNorm(epsilon=1e-5, name="pose_head_norm", **kw)
+        self.pose_head_fc2 = nn.Dense(
+            self.encoder_traj.pose_dim + 1, name="pose_head_fc2", **kw
+        )
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def pose_dim(self) -> int:
+        return self.encoder_traj.pose_dim
+
+    def _canonical(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cz = self.cfg.render.camera_z
+        return canonical_pose_cv2(cz), canonical_extrinsics_cv2(cz)
+
+    def encode_views(self, clips: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """[b, t, H, W, 3] -> [b, t, 32, 32, 32, 128] voxel features."""
+        b, t = clips.shape[:2]
+        feats = self.encoder_3d.get_feat3d(
+            clips.reshape((b * t,) + clips.shape[2:]), train
+        )
+        return feats.reshape((b, t) + feats.shape[1:])
+
+    def pose_head(self, feat: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = self.pose_head_drop(feat, deterministic=not train)
+        x = self.pose_head_fc1(x)
+        x = leaky_relu(self.pose_head_norm(x))
+        return self.pose_head_fc2(x)
+
+    def predict_poses_2d3d(
+        self, clips: jnp.ndarray, features_raw: jnp.ndarray, flags: TrainFlags
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused 2D+3D relative pose prediction (reference: models/model.py:62-71).
+
+        Returns (poses_cam [b*(t-1), pose_dim] quat-normalized, conf [.,1]).
+        """
+        f3d = self.encoder_traj(features_raw, flags.encoder_traj, return_features=True)
+        f2d = self.encoder_traj_2d(clips, flags.encoder_traj_2d, return_features=True)
+        feat = jnp.concatenate([f3d, f2d], axis=-1)
+        pred = self.pose_head(feat, flags.pose_head)
+        poses_cam, conf = pred[..., : self.pose_dim], pred[..., self.pose_dim :]
+        quat = poses_cam[..., :4]
+        quat = quat / jnp.maximum(
+            jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12
+        )
+        poses_cam = jnp.concatenate([quat, poses_cam[..., 4:]], axis=-1)
+        return poses_cam, conf
+
+    def cameras_from_rel(
+        self, cam_pose_rel: jnp.ndarray, b: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Relative poses [b*(t-1),4,4] -> canonicalized (poses, extrinsics) [b,t,4,4]."""
+        canon_pose, canon_extr = self._canonical()
+        poses = canon_pose[None] @ cam_pose_rel                 # [b*(t-1),4,4]
+        extr = geo.se3_inverse(poses)
+        t1 = cam_pose_rel.shape[0] // b
+        poses = poses.reshape(b, t1, 4, 4)
+        extr = extr.reshape(b, t1, 4, 4)
+        poses = jnp.concatenate(
+            [jnp.broadcast_to(canon_pose, (b, 1, 4, 4)), poses], axis=1
+        )
+        extr = jnp.concatenate(
+            [jnp.broadcast_to(canon_extr, (b, 1, 4, 4)), extr], axis=1
+        )
+        return poses, extr
+
+    def origin_projection(
+        self, camE: jnp.ndarray, camK: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Normalized screen projection of the world origin, in [0,2]-ish units.
+
+        reference: models/model.py:106-114 — projection uses HALVED intrinsics
+        (half-res render frame) then is scaled by 2/img_size.
+        """
+        B = camE.shape[0]
+        Kh = halve_intrinsics(camK)
+        origin = jnp.zeros((1, 3), dtype=camK.dtype)
+        proj = project_points_screen(
+            origin, Kh, camE[..., :3, :3], camE[..., :3, 3]
+        )[:, 0, :]
+        return 2.0 * proj / self.cfg.dataset.img_size
+
+    def fuse_and_decode(
+        self, feats_t: jnp.ndarray, flags: TrainFlags
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[b, t, 32c, 128] aligned volumes -> (render features, densities) 64c."""
+        fused = self.encoder_3d.fuse(feats_t, flags.fusion)
+        dens = self.encoder_3d.get_density3d(fused, flags.render)
+        feat = self.encoder_3d.get_render_features(fused, flags.render)
+        if self.cfg.dataset.name == "omniobject3d":
+            dens = jnp.clip(dens, 0.0, 1.0)  # reference: models/model.py:140-141
+        return feat, dens
+
+    def render_views(
+        self,
+        features: jnp.ndarray,
+        densities: jnp.ndarray,
+        camE: jnp.ndarray,
+        camK: jnp.ndarray,
+        flags: TrainFlags,
+        return_origin_proj: bool = False,
+        render_depth: bool = False,
+    ):
+        """Render [B] views of volumes [B, 64c, ...]."""
+        cameras = {
+            "R": camE[..., :3, :3],
+            "T": camE[..., :3, 3],
+            "K": camK,
+        }
+        return self.render(
+            cameras, features, densities,
+            train=flags.render,
+            render_depth=render_depth,
+            return_origin_proj=return_origin_proj,
+        )
+
+    # ---------------------------------------------------------------- forward
+
+    def __call__(self, sample: Dict[str, jnp.ndarray], flags: Optional[TrainFlags] = None):
+        flags = flags or TrainFlags.none()
+        return self.forward_full(sample, flags)
+
+    def forward_full(self, sample: Dict[str, jnp.ndarray], flags: TrainFlags):
+        """Full 2D+3D model forward (reference: models/model.py:42-148)."""
+        cfg = self.cfg
+        images = sample["images"]
+        b, t_all = images.shape[:2]
+        t = min(5, t_all)
+        clips = images[:, :t]
+
+        features_raw = self.encode_views(clips, flags.encoder_3d)
+
+        cam_pose_return = None
+        if not cfg.train.use_gt_pose:
+            poses_cam, conf = self.predict_poses_2d3d(clips, features_raw, flags)
+            rel = to_se3(poses_cam, cfg.network.rot_representation)
+            cam_poses, cam_extr = self.cameras_from_rel(rel, b)
+            gt_rel = sample["cam_poses_rel_cv2"][:, 1:t].reshape(b * (t - 1), 4, 4)
+            cam_pose_return = {
+                "gt": geo.mat2quat(gt_rel),
+                "pred": poses_cam,
+                "conf": conf,
+            }
+            idxs = sequence_from_distance(cam_poses[:, :, :3, 3])
+        else:
+            if cfg.train.canonicalize:
+                cam_extr = sample["cam_extrinsics_cv2_canonicalized"][:, :t]
+                cam_poses = sample["cam_poses_cv2_canonicalized"][:, :t]
+            else:
+                cam_extr = sample["cam_extrinsics_cv2"][:, :t]
+                cam_poses = sample["cam_poses_cv2"][:, :t]
+            idxs = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+
+        if cfg.train.parameter in ("pose", "pose_head"):
+            # pose-only early return (reference: models/model.py:98-114)
+            camK = sample["K_cv2"][:, :t].reshape(b * t, 3, 3)
+            camE = cam_extr.reshape(b * t, 4, 4)
+            return cam_pose_return, self.origin_projection(camE, camK)
+
+        # append held-out NVS cameras (reference: models/model.py:117-118)
+        camE_all = jnp.concatenate(
+            [cam_extr, sample["cam_extrinsics_cv2_canonicalized"][:, t:]], axis=1
+        )
+        camK_all = sample["K_cv2"][:, :t_all]
+
+        feats_t = rotate_voxel_grids(
+            features_raw, cam_poses, cfg.render.volume_size
+        )
+        feats_t = chose_selected(feats_t, idxs)
+        feat, dens = self.fuse_and_decode(feats_t, flags)
+
+        # broadcast the fused volume to all t_all target views
+        C2 = feat.shape[-1]
+        S = feat.shape[1]
+        feat_all = jnp.broadcast_to(
+            feat[:, None], (b, t_all, S, S, S, C2)
+        ).reshape(b * t_all, S, S, S, C2)
+        dens_all = jnp.broadcast_to(
+            dens[:, None], (b, t_all, S, S, S, 1)
+        ).reshape(b * t_all, S, S, S, 1)
+
+        imgs, masks, origin_proj = self.render_views(
+            feat_all, dens_all,
+            camE_all.reshape(b * t_all, 4, 4),
+            camK_all.reshape(b * t_all, 3, 3),
+            flags, return_origin_proj=True,
+        )
+        origin_proj = 2.0 * origin_proj / cfg.dataset.img_size
+
+        if cfg.train.use_gt_pose:
+            return imgs, masks
+        return imgs, masks, origin_proj, cam_pose_return
+
+    def forward_single(self, sample: Dict[str, jnp.ndarray], flags: TrainFlags):
+        """3D-estimator-only curriculum forward with 2t renders.
+
+        reference: models/model_single_pose_estimator.py:26-138. Renders, per
+        batch element: views 0..t-1 from sub-view fusions (first 3 slots use
+        the last-2-view fusion, last 2 slots the first-3-view fusion), then
+        views 0..t-1 again from the full 5-view fusion.
+        """
+        cfg = self.cfg
+        images = sample["images"]
+        b = images.shape[0]
+        t = min(5, images.shape[1])
+        clips = images[:, :t]
+
+        features_raw = self.encode_views(clips, flags.encoder_3d)
+
+        cam_pose_return = None
+        if not cfg.train.use_gt_pose:
+            poses_cam, conf = self.encoder_traj(features_raw, flags.encoder_traj)
+            quat = poses_cam[..., :4]
+            quat = quat / jnp.maximum(
+                jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12
+            )
+            poses_cam = jnp.concatenate([quat, poses_cam[..., 4:]], axis=-1)
+            rel = to_se3(poses_cam, cfg.network.rot_representation)
+            cam_poses, cam_extr = self.cameras_from_rel(rel, b)
+            gt_rel = sample["cam_poses_rel_cv2"][:, 1:t].reshape(b * (t - 1), 4, 4)
+            cam_pose_return = {
+                "gt": geo.mat2quat(gt_rel),
+                "pred": poses_cam,
+                "conf": conf,
+            }
+        else:
+            if cfg.train.canonicalize:
+                cam_extr = sample["cam_extrinsics_cv2_canonicalized"][:, :t]
+                cam_poses = sample["cam_poses_cv2_canonicalized"][:, :t]
+            else:
+                cam_extr = sample["cam_extrinsics_cv2"][:, :t]
+                cam_poses = sample["cam_poses_cv2"][:, :t]
+
+        camE_2t = jnp.tile(cam_extr, (1, 2, 1, 1))
+        camK_2t = jnp.tile(sample["K_cv2"][:, :t], (1, 2, 1, 1))
+
+        if cfg.train.parameter == "pose":
+            camK = camK_2t.reshape(b * 2 * t, 3, 3)
+            camE = camE_2t.reshape(b * 2 * t, 4, 4)
+            return cam_pose_return, self.origin_projection(camE, camK)
+
+        feats_t = rotate_voxel_grids(features_raw, cam_poses, cfg.render.volume_size)
+
+        # sub-view fusions (reference :108-117)
+        feat_3v, dens_3v = self.fuse_and_decode(feats_t[:, :3], flags)
+        feat_2v, dens_2v = self.fuse_and_decode(feats_t[:, -2:], flags)
+        # full fusion
+        feat_mv, dens_mv = self.fuse_and_decode(feats_t, flags)
+
+        S = feat_mv.shape[1]
+        C2 = feat_mv.shape[-1]
+
+        def rep(x, n):
+            return jnp.broadcast_to(
+                x[:, None], (b, n) + x.shape[1:]
+            )
+
+        feats_all = jnp.concatenate(
+            [rep(feat_2v, 3), rep(feat_3v, 2), rep(feat_mv, t)], axis=1
+        ).reshape(b * 2 * t, S, S, S, C2)
+        dens_all = jnp.concatenate(
+            [rep(dens_2v, 3), rep(dens_3v, 2), rep(dens_mv, t)], axis=1
+        ).reshape(b * 2 * t, S, S, S, 1)
+
+        imgs, masks, origin_proj = self.render_views(
+            feats_all, dens_all,
+            camE_2t.reshape(b * 2 * t, 4, 4),
+            camK_2t.reshape(b * 2 * t, 3, 3),
+            flags, return_origin_proj=True,
+        )
+        origin_proj = 2.0 * origin_proj / cfg.dataset.img_size
+
+        if cfg.train.use_gt_pose:
+            return imgs, masks
+        return imgs, masks, origin_proj, cam_pose_return
+
+
+@flax.struct.dataclass
+class ForgeOutputs:
+    imgs: jnp.ndarray
+    masks: jnp.ndarray
+    origin_proj: Optional[jnp.ndarray] = None
+    pose_gt: Optional[jnp.ndarray] = None
+    pose_pred: Optional[jnp.ndarray] = None
+    pose_conf: Optional[jnp.ndarray] = None

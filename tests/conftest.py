@@ -8,7 +8,10 @@ without TPU hardware.
 
 import os
 
-# Must be set before jax initializes its backends.
+# Must be set before jax initializes its backends. Note: a sitecustomize hook
+# in this environment re-registers the TPU plugin regardless of the
+# JAX_PLATFORMS env var, so the config.update below is the authoritative
+# switch; the env vars still matter for XLA_FLAGS parsing.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -18,4 +21,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Parity tests compare against torch float32; keep MXU-path matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
