@@ -27,6 +27,7 @@ Dtype = Any
 
 
 class Encoder3D(nn.Module):
+    depth_fold: int = 32  # 32 for img_size 256; img_size//8 generally
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -64,7 +65,7 @@ class Encoder3D(nn.Module):
         """
         z2d = self.feature_extraction(img, train)          # [B, 32, 32, 2048]
         B, H, W, C = z2d.shape
-        D = 32
+        D = self.depth_fold
         # torch: view [B, 2048, H, W] -> [B, 64, 32, H, W]; channel c*32+d -> (c, d).
         z3d = z2d.reshape(B, H, W, C // D, D)
         z3d = jnp.transpose(z3d, (0, 4, 1, 2, 3))          # [B, D, H, W, 64]

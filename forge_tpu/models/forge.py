@@ -53,39 +53,22 @@ class TrainFlags:
     even inside a training step.
     """
 
-    encoder_3d: bool = False
-    fusion: bool = False
-    render: bool = False
-    encoder_traj: bool = False
-    encoder_traj_2d: bool = False
-    pose_head: bool = False
+    encoder_3d: bool = False       # ResNet backbone + conv1
+    fusion: bool = False           # ConvGRU + fusion_conv
+    density_head: bool = False
+    features_head: bool = False
+    conv_rgb: bool = False         # renderer's 2D decoder
+    encoder_traj: bool = False     # 3D pose estimator
+    encoder_traj_2d: bool = False  # 2D pose estimator
+    pose_head: bool = False        # fused 2D+3D head (incl. dropout)
 
     @staticmethod
     def none() -> "TrainFlags":
         return TrainFlags()
 
     @staticmethod
-    def for_mode(mode: str) -> "TrainFlags":
-        """Curriculum mode -> flags (reference: kubric_train_joint.py:24-44,
-        kubric_train_pose_3D.py:24-43)."""
-        if mode == "all":
-            return TrainFlags(True, True, True, True, True, True)
-        if mode == "pose":
-            return TrainFlags(encoder_traj=True, encoder_traj_2d=True, pose_head=True)
-        if mode == "pose_3d":
-            return TrainFlags(encoder_traj=True)
-        if mode == "pose_head":
-            return TrainFlags(pose_head=True)
-        if mode == "joint":
-            # traj + head + fusion + density/render heads trainable; 2D backbone
-            # of the encoder stays frozen in reference joint mode.
-            return TrainFlags(
-                encoder_3d=False, fusion=True, render=True,
-                encoder_traj=True, encoder_traj_2d=True, pose_head=True,
-            )
-        if mode in ("", "eval", "none"):
-            return TrainFlags()
-        raise ValueError(f"unknown mode {mode}")
+    def all() -> "TrainFlags":
+        return TrainFlags(*([True] * 8))
 
 
 def sequence_from_distance(trans: jnp.ndarray) -> jnp.ndarray:
@@ -111,7 +94,8 @@ class FORGE(nn.Module):
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         r = self.cfg.render
-        self.encoder_3d = Encoder3D(name="encoder_3d", **kw)
+        feat_hw = self.cfg.dataset.img_size // 8
+        self.encoder_3d = Encoder3D(depth_fold=feat_hw, name="encoder_3d", **kw)
         self.render = VolRender(
             img_size=self.cfg.dataset.img_size,
             volume_size=r.volume_size,
@@ -125,9 +109,12 @@ class FORGE(nn.Module):
         )
         self.encoder_traj = PoseEstimator3D(
             rot_representation=self.cfg.network.rot_representation,
+            inp_res=feat_hw // 2,
             name="encoder_traj", **kw,
         )
-        self.encoder_traj_2d = PoseEstimator2D(name="encoder_traj_2d", **kw)
+        self.encoder_traj_2d = PoseEstimator2D(
+            grid_size=self.cfg.dataset.img_size // 16, name="encoder_traj_2d", **kw
+        )
         # reference: models/model.py:32-39
         self.pose_head_drop = nn.Dropout(rate=0.5)
         self.pose_head_fc1 = nn.Dense(512, name="pose_head_fc1", **kw)
@@ -218,8 +205,8 @@ class FORGE(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """[b, t, 32c, 128] aligned volumes -> (render features, densities) 64c."""
         fused = self.encoder_3d.fuse(feats_t, flags.fusion)
-        dens = self.encoder_3d.get_density3d(fused, flags.render)
-        feat = self.encoder_3d.get_render_features(fused, flags.render)
+        dens = self.encoder_3d.get_density3d(fused, flags.density_head)
+        feat = self.encoder_3d.get_render_features(fused, flags.features_head)
         if self.cfg.dataset.name == "omniobject3d":
             dens = jnp.clip(dens, 0.0, 1.0)  # reference: models/model.py:140-141
         return feat, dens
@@ -242,7 +229,7 @@ class FORGE(nn.Module):
         }
         return self.render(
             cameras, features, densities,
-            train=flags.render,
+            train=flags.conv_rgb,
             render_depth=render_depth,
             return_origin_proj=return_origin_proj,
         )

@@ -45,6 +45,7 @@ class FPN(nn.Module):
 
 
 class PoseEstimator2D(nn.Module):
+    grid_size: int = 16  # FPN p4 token grid; img_size//16
     cross_attn_layers: int = 3
     self_attn_layers: int = 3
     dtype: Optional[Dtype] = None
@@ -77,7 +78,7 @@ class PoseEstimator2D(nn.Module):
         self.out_bn = TorchBatchNorm(name="out_bn", **kw)
         self.out_fc2 = nn.Dense(7, name="out_fc2", **kw)
         # learnable pos-emb initialized from 2D sincos (reference :50-51)
-        sincos = 0.05 * get_2d_sincos_pos_embed(256, 16)
+        sincos = 0.05 * get_2d_sincos_pos_embed(256, self.grid_size)
         self.pos_emb = self.param(
             "pos_emb",
             lambda key: jnp.asarray(sincos, dtype=jnp.float32)[None],  # [1,256,256]

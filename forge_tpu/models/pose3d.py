@@ -68,6 +68,7 @@ class PoseTransformer(nn.Module):
 
 class PoseEstimator3D(nn.Module):
     rot_representation: str = "quat"
+    inp_res: int = 16  # token grid after the stride-2 conv; 16 for 32-cube volumes
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -83,7 +84,7 @@ class PoseEstimator3D(nn.Module):
         self.conv3d_1b = TorchConv(64, 3, 1, 1, name="conv3d_1b", **kw)
 
         self.pose_transformer = PoseTransformer(
-            inp_res=16, dim=64, mlp_ratio=2.0, coord_dim=64,
+            inp_res=self.inp_res, dim=64, mlp_ratio=2.0, coord_dim=64,
             name="pose_transformer", **kw,
         )
 

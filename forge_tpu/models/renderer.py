@@ -26,7 +26,7 @@ Dtype = Any
 
 def halve_intrinsics(K: jnp.ndarray) -> jnp.ndarray:
     """K/2 with K[2,2] restored to 1 (reference: models/volume_render.py:50-51)."""
-    K = K / 2.0
+    K = jnp.asarray(K) / 2.0
     return K.at[..., 2, 2].set(1.0)
 
 
