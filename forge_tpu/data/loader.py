@@ -1,0 +1,95 @@
+"""Batching loader with background prefetch.
+
+TPU-native replacement for the reference's torch DataLoader + DistributedSampler
+(kubric_train_joint.py:128-144): a plain-python dataset is batched on the host,
+optionally sharded per process (for multi-host: each process loads
+`indices[process_index::process_count]`), and prefetched on a thread so host IO
+overlaps device steps. Device placement happens in the train loop via
+`parallel.shard_batch` (the global batch is laid out across the mesh by jit).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of sample dicts; string fields become lists."""
+    out: Dict = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, str):
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling per epoch (reference: DistributedSampler.set_epoch,
+        kubric_train_pose_3D.py:152)."""
+        self.epoch = epoch
+
+    def _indices(self) -> List[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        return idx[self.process_index:: self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        batches = [
+            indices[i: i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(collate([self.dataset[i] for i in b]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -1,0 +1,137 @@
+"""Procedural synthetic dataset: random blob volumes rendered to images.
+
+The reference has no test fixtures at all (SURVEY.md §4); its datasets require
+multi-GB external renders. This generator produces geometrically consistent
+samples entirely in memory — random soft-ellipsoid density volumes with
+coordinate-colored features, rendered through the SAME emission-absorption
+renderer the model uses — so end-to-end training/eval tests (and benchmarks)
+run hermetically: a model trained on these samples must drive recon loss down
+and reproduce poses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from forge_tpu.config import Config
+from forge_tpu.data.base import assemble_sample, FrameSequenceDataset
+from forge_tpu.data import pose_np
+
+
+def orbit_pose_cv2(radius: float, elev: float, azim: float) -> np.ndarray:
+    """Camera on a sphere looking at the origin; returns cv2 pose (cam->world)."""
+    # camera center in cv2 world coordinates
+    c = np.array([
+        radius * np.cos(elev) * np.sin(azim),
+        -radius * np.sin(elev),
+        -radius * np.cos(elev) * np.cos(azim),
+    ])
+    z_axis = -c / np.linalg.norm(c)           # cv2 +z looks at origin
+    up = np.array([0.0, -1.0, 0.0])           # cv2 -y is "up"
+    x_axis = np.cross(up, z_axis)
+    n = np.linalg.norm(x_axis)
+    if n < 1e-5:
+        x_axis = np.array([1.0, 0.0, 0.0])
+    else:
+        x_axis = x_axis / n
+    y_axis = np.cross(z_axis, x_axis)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = x_axis, y_axis, z_axis, c
+    return pose
+
+
+def blob_volume(rng: np.random.RandomState, grid: int, n_blobs: int = 3):
+    """Soft ellipsoids: density [S,S,S,1], rgb-ish features [S,S,S,3]."""
+    half = (grid - 1) / grid * 0.5
+    ax = np.linspace(-half, half, grid, dtype=np.float32)
+    z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+    dens = np.zeros((grid, grid, grid), np.float32)
+    feat = np.zeros((grid, grid, grid, 3), np.float32)
+    for _ in range(n_blobs):
+        c = rng.uniform(-0.2, 0.2, 3)
+        r = rng.uniform(0.08, 0.2, 3)
+        color = rng.uniform(0.2, 1.0, 3)
+        d = np.sqrt(((x - c[0]) / r[0]) ** 2 + ((y - c[1]) / r[1]) ** 2
+                    + ((z - c[2]) / r[2]) ** 2)
+        a = np.clip(1.0 - d, 0.0, 1.0) * 1.5
+        feat = np.where((a > dens)[..., None], color[None, None, None], feat)
+        dens = np.maximum(dens, a)
+    return np.clip(dens, 0, 1)[..., None], feat
+
+
+class SyntheticVoxelDataset(FrameSequenceDataset):
+    """n_seqs procedural scenes, num_frames() orbit views each."""
+
+    def __init__(self, cfg: Config, split: str = "train", n_seqs: int = 8,
+                 grid: int = 32):
+        super().__init__(cfg, split)
+        self.n_seqs = n_seqs
+        self.grid = grid
+        self.seq_names = [f"synthetic/{split}/{i:04d}" for i in range(n_seqs)]
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+
+    def _render(self, dens, feat, poses, K):
+        import jax
+        import jax.numpy as jnp
+        from forge_tpu.geometry.rotations import se3_inverse
+        from forge_tpu.ops.ray_march import render_volume_xla
+
+        cfg = self.cfg
+        s = cfg.dataset.img_size
+        extr = np.asarray(se3_inverse(jnp.asarray(poses)))
+        out = np.asarray(render_volume_xla(
+            jnp.asarray(np.broadcast_to(feat[None], (poses.shape[0],) + feat.shape)),
+            jnp.asarray(np.broadcast_to(dens[None], (poses.shape[0],) + dens.shape)),
+            jnp.asarray(np.broadcast_to(K[None], (poses.shape[0], 3, 3))),
+            jnp.asarray(extr[:, :3, :3]),
+            jnp.asarray(extr[:, :3, 3]),
+            image_size=s,
+            n_pts_per_ray=cfg.render.n_pts_per_ray,
+            min_depth=cfg.render.min_depth,
+            max_depth=cfg.render.max_depth,
+            volume_size=cfg.render.volume_size,
+        ))
+        rgb = np.clip(out[..., :3], 0, 1)
+        alpha = out[..., 3:4]
+        depth = out[..., 4:5]
+        if not self.cfg.dataset.mask_images:
+            rgb = rgb + (1.0 - alpha)  # white background composite
+        return rgb.astype(np.float32), alpha.astype(np.float32), depth.astype(np.float32)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if idx in self._cache and self.split != "train":
+            return self._cache[idx]
+        cfg = self.cfg
+        rng = np.random.RandomState(cfg.seed * 1000 + idx
+                                    + (0 if self.split == "train" else 77777))
+        dens, feat = blob_volume(rng, self.grid)
+        n = self.num_frames()
+        poses = np.stack([
+            orbit_pose_cv2(
+                cfg.render.camera_z,
+                rng.uniform(-0.9, 0.9),
+                rng.uniform(0, 2 * np.pi),
+            )
+            for _ in range(n)
+        ])
+        s = cfg.dataset.img_size
+        f = 1.1 * s  # focal keeping the unit volume comfortably in frame
+        K = np.array([[f, 0, s / 2], [0, f, s / 2], [0, 0, 1]], np.float32)
+        rgb, alpha, depth = self._render(dens, feat, poses, K)
+        mask = (alpha > 0.5).astype(np.float32)
+        if cfg.dataset.mask_images:
+            rgb = rgb * mask
+        sample = assemble_sample(
+            rgb, mask, K, poses @ np.linalg.inv(
+                np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+            ),
+            cfg.render.camera_z,
+            depths=depth,
+            seq_name=self.seq_names[idx],
+            seen_flag=(1.0 if self.split == "test" else None),
+        )
+        if self.split != "train":
+            self._cache[idx] = sample
+        return sample

@@ -1,0 +1,153 @@
+"""Data layer tests: synthetic generator, loader, and on-disk kubric parsing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from forge_tpu.config import Config, merge_config
+from forge_tpu.data import (
+    SyntheticVoxelDataset,
+    KubricDataset,
+    Loader,
+    collate,
+)
+from forge_tpu.data import pose_np
+
+
+def tiny_cfg(**over):
+    base = {
+        "dataset": {"name": "kubric", "img_size": 64, "num_frame": 5,
+                    "mask_images": True, "category": "car"},
+        "render": {"n_pts_per_ray": 16, "volume_size": 1.0, "min_depth": 0.5,
+                   "max_depth": 2.0, "camera_z": 1.5},
+        "test": {"compute_metric": False},
+    }
+    base.update(over)
+    return merge_config(Config(), base)
+
+
+def test_synthetic_sample_schema_and_consistency():
+    cfg = tiny_cfg()
+    ds = SyntheticVoxelDataset(cfg, split="train", n_seqs=2, grid=16)
+    s = ds[0]
+    t = cfg.dataset.num_frame
+    assert s["images"].shape == (t, 64, 64, 3)
+    assert s["fg_probabilities"].shape == (t, 64, 64, 1)
+    assert s["depths"].shape == (t, 64, 64, 1)
+    assert s["K_cv2"].shape == (t, 3, 3)
+    for k in ("cam_poses_cv2", "cam_extrinsics_cv2",
+              "cam_poses_cv2_canonicalized", "cam_poses_rel_cv2"):
+        assert s[k].shape == (t, 4, 4)
+
+    # masks nontrivial
+    assert 0.01 < s["fg_probabilities"].mean() < 0.9
+
+    # extrinsics are inverse poses
+    eye = np.matmul(s["cam_poses_cv2"], s["cam_extrinsics_cv2"])
+    np.testing.assert_allclose(eye, np.tile(np.eye(4), (t, 1, 1)), atol=1e-4)
+
+    # relative poses: pose0 @ rel == pose_i
+    np.testing.assert_allclose(
+        s["cam_poses_cv2"][0][None] @ s["cam_poses_rel_cv2"],
+        s["cam_poses_cv2"], atol=1e-4,
+    )
+    # canonicalized set preserves relative poses
+    rel2 = pose_np.get_relative_pose(
+        s["cam_poses_cv2_canonicalized"][0], s["cam_poses_cv2_canonicalized"]
+    )
+    np.testing.assert_allclose(rel2, s["cam_poses_rel_cv2"], atol=1e-4)
+
+    # the object (world origin) projects near the image center in every view
+    extr, K = s["cam_extrinsics_cv2"], s["K_cv2"]
+    p = np.einsum("tij,j->ti", extr[:, :3, :3], np.zeros(3)) + extr[:, :3, 3]
+    u = K[:, 0, 0] * p[:, 0] / p[:, 2] + K[:, 0, 2]
+    v = K[:, 1, 1] * p[:, 1] / p[:, 2] + K[:, 1, 2]
+    assert np.all(np.abs(u - 32) < 2) and np.all(np.abs(v - 32) < 2)
+
+    # rendered object is visible at the center of the first view's mask
+    m = s["fg_probabilities"][0, 24:40, 24:40]
+    assert m.mean() > 0.05
+
+
+def test_loader_batching_and_sharding():
+    cfg = tiny_cfg()
+    ds = SyntheticVoxelDataset(cfg, split="train", n_seqs=6, grid=8)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["images"].shape[0] == 2
+    assert isinstance(b["seq_name"], list) and len(b["seq_name"]) == 2
+
+    # process sharding partitions indices
+    l0 = Loader(ds, batch_size=1, process_index=0, process_count=2)
+    l1 = Loader(ds, batch_size=1, process_index=1, process_count=2)
+    names0 = {b["seq_name"][0] for b in l0}
+    names1 = {b["seq_name"][0] for b in l1}
+    assert not names0 & names1
+    assert len(names0 | names1) == 6
+
+    # epoch reshuffling changes order
+    loader.set_epoch(1)
+    order1 = [b["seq_name"] for b in loader]
+    loader.set_epoch(2)
+    order2 = [b["seq_name"] for b in loader]
+    assert order1 != order2
+
+
+def _write_fake_kubric_seq(root, cid, inst, seq, n_frames=10, size=32):
+    import imageio.v2 as imageio
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    seq_path = os.path.join(root, cid, inst, seq)
+    os.makedirs(seq_path, exist_ok=True)
+    positions, quaternions = [], []
+    for i in range(n_frames):
+        rgba = (rng.rand(size, size, 4) * 255).astype(np.uint8)
+        rgba[..., 3] = (rng.rand(size, size) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(rgba, "RGBA").save(
+            os.path.join(seq_path, f"rgba_{i:05d}.png"))
+        depth = rng.rand(size, size).astype(np.float32) + 1.0
+        imageio.imwrite(os.path.join(seq_path, f"depth_{i:05d}.tiff"), depth)
+        q = rng.randn(4)
+        quaternions.append((q / np.linalg.norm(q)).tolist())
+        positions.append((rng.randn(3) * 0.1 + [0, 0, 1.4]).tolist())
+    meta = {
+        "camera": {
+            "sensor_width": 36,
+            "K": [[1.1, 0.0, 0.5], [0.0, 1.1, 0.5], [0.0, 0.0, 1.0]],
+            "positions": positions,
+            "quaternions": quaternions,
+        }
+    }
+    with open(os.path.join(seq_path, "metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def test_kubric_dataset_parses_on_disk_format(tmp_path):
+    from forge_tpu.data.kubric import SHAPENET_IDS
+
+    root = str(tmp_path / "kubric")
+    cid = SHAPENET_IDS["car"]
+    for inst in ("instA", "instB"):
+        for seq in ("seq0", "seq1"):
+            _write_fake_kubric_seq(root, cid, inst, seq)
+
+    cfg = merge_config(tiny_cfg(), {"dataset": {"root": root}})
+    ds = KubricDataset(cfg, split="train",
+                       split_cache_dir=str(tmp_path / "splits"))
+    assert len(ds) >= 1
+    s = ds[0]
+    t = cfg.dataset.num_frame
+    assert s["images"].shape == (t, 64, 64, 3)
+    assert s["depths"].shape == (t, 64, 64, 1)
+    assert np.isfinite(s["cam_poses_cv2"]).all()
+    # K scaled to pixels: fx = 1.1 * 64
+    np.testing.assert_allclose(s["K_cv2"][0, 0, 0], 1.1 * 64, rtol=1e-5)
+    # split cache reused on second construction
+    ds2 = KubricDataset(cfg, split="test",
+                        split_cache_dir=str(tmp_path / "splits"))
+    assert set(ds2.seq_names).isdisjoint(set(ds.seq_names))
