@@ -1,0 +1,289 @@
+"""Eval harness: per-instance initialization, evaluation, sync, refinement.
+
+Functional parity with the reference eval driver (kubric_eval.py:36-145,
+235-409) re-architected TPU-first:
+
+  - `predict_initial` runs ALL five canonical-view permutations as ONE batched
+    jitted forward (the reference loops them on the host, kubric_eval.py:374).
+  - `evaluate_canonical` renders the held-out NVS views and the input views
+    with one jitted fuse+render; image metrics run host-side numpy.
+  - `sync_pose` builds the pairwise pose graph from the five permutation runs,
+    weighs edges by cycle consistency, and synchronizes (host f64).
+  - refinement is the jitted `eval.refine.make_refiner` scan.
+
+Work sharding across processes uses `batch_idx % split_num == exp_id` exactly
+like the reference's 8-process eval scripts (kubric_eval.py:56-57).
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import combinations
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forge_tpu.config import Config
+from forge_tpu.models.forge import FORGE, TrainFlags
+from forge_tpu.eval import metrics as M
+from forge_tpu.eval import sync as S
+from forge_tpu.data import pose_np
+from forge_tpu.geometry.rotations import quat2mat, mat2quat
+
+
+def predict_initial(model: FORGE, variables, sample: Dict, cfg: Config,
+                    jitted_encode: Optional[Callable] = None) -> Dict:
+    """Per-canonical-id initialization (reference: kubric_eval.py:371-409).
+
+    sample: single-instance batch (b=1, t_all=10 views).
+    Returns dict[str(canonical_id)] with permutation, poses_cam (numpy
+    [t-1, pose_dim]), features_raw [t,...], nvs_extr, gt_poses.
+    """
+    clips = np.asarray(sample["images"][:, :5])
+    K = np.asarray(sample["K_cv2"][:, :5])
+    gt_rel = np.asarray(sample["cam_poses_rel_cv2"][:, :5])
+    nvs_extr_full = np.asarray(sample["cam_extrinsics_cv2_canonicalized"])
+    t = clips.shape[1]
+
+    permuted_clips, permutations, gts, nvs_list = [], [], [], []
+    for cid in range(t):
+        c, gt, nvs, perm = M.permute_clips(
+            clips, gt_rel, nvs_extr_full, cid, camera_z=cfg.render.camera_z
+        )
+        permuted_clips.append(c[0])
+        permutations.append(perm)
+        gts.append(gt)
+        nvs_list.append(nvs)
+
+    batch = jnp.asarray(np.stack(permuted_clips))       # [5, t, H, W, 3]
+    fn = jitted_encode or jax.jit(
+        lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
+    )
+    features_raw, poses_cam, conf = fn(variables, batch)
+    features_raw = np.asarray(features_raw)             # [5, t, S,S,S,128]
+    poses_cam = np.asarray(poses_cam).reshape(t, t - 1, -1)
+    conf = np.asarray(conf).reshape(t, t - 1, -1)
+
+    return {
+        str(cid): {
+            "permutation": permutations[cid],
+            "poses_cam": poses_cam[cid],
+            "conf": conf[cid],
+            "features_raw": features_raw[cid: cid + 1],
+            "nvs_extr": nvs_list[cid],
+            "gt_poses": gts[cid],
+        }
+        for cid in range(t)
+    }
+
+
+def make_eval_renderer(model: FORGE) -> Callable:
+    """Jitted: (variables, features_raw, pose_vec, camK, nvs_extr, nvs_K) ->
+    (imgs, masks, depths) for the NVS cameras."""
+
+    def fn(variables, features_raw, pose_vec, camK, nvs_extr, nvs_K):
+        return model.apply(
+            variables, features_raw, pose_vec, camK, TrainFlags.none(),
+            True, nvs_extr, nvs_K,
+            method=model.fuse_render_from_rel,
+        )
+
+    return jax.jit(fn)
+
+
+def evaluate_canonical(
+    model: FORGE, variables, sample: Dict, entry: Dict, cfg: Config,
+    renderer: Optional[Callable] = None,
+    lpips_fn: Optional[Callable] = None,
+    eval_pose: bool = True,
+) -> Dict[str, float]:
+    """Render held-out NVS views and compute image + pose metrics.
+
+    reference: kubric_eval.py:258-367.
+    """
+    renderer = renderer or make_eval_renderer(model)
+    clips_nvs = np.asarray(sample["images"][:, 5:])     # [1,5,H,W,3]
+    camK = jnp.asarray(sample["K_cv2"][:, :5])
+    nvs_extr = jnp.asarray(entry["nvs_extr"][:, 5:])
+    nvs_K = jnp.asarray(np.asarray(sample["K_cv2"])[:, 5:])
+
+    imgs, masks, depths = renderer(
+        variables, jnp.asarray(entry["features_raw"]),
+        jnp.asarray(entry["poses_cam"]), camK, nvs_extr, nvs_K,
+    )
+    imgs = np.asarray(imgs)
+    depths = np.asarray(depths)
+
+    psnr = ssim = 0.0
+    n = clips_nvs.shape[1]
+    for i in range(n):
+        p, s = M.compute_img_metric(imgs[i], clips_nvs[0, i])
+        psnr += p
+        ssim += s
+    psnr /= n
+    ssim /= n
+
+    lpips_val = 0.0
+    if lpips_fn is not None:
+        lpips_val = float(np.mean(np.asarray(
+            lpips_fn(jnp.asarray(imgs), jnp.asarray(clips_nvs[0])))))
+
+    depth_err = 0.0
+    if "depths" in sample:
+        gt_d = np.asarray(sample["depths"][:, :5])[0]
+        depth_err = float(np.clip(np.abs(gt_d - depths).mean(), 0.0, 2.0))
+
+    out = {"psnr": psnr, "ssim": ssim, "lpips": lpips_val,
+           "depth_error": depth_err}
+    if eval_pose:
+        gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4)[1:]
+        gt_q = np.asarray(mat2quat(jnp.asarray(gt)))
+        rot, trans = M.pose_errors_capped(entry["poses_cam"], gt_q)
+        out["rot_error"] = rot
+        out["trans_error"] = trans
+    return out
+
+
+def evaluate_all(model, variables, sample, return_dict, cfg,
+                 renderer=None, lpips_fn=None):
+    """Evaluate every canonical choice; best = lowest rot error
+    (reference: kubric_eval.py:235-255)."""
+    results = {}
+    for cid in sorted(return_dict.keys(), key=int):
+        results[cid] = evaluate_canonical(
+            model, variables, sample, return_dict[cid], cfg,
+            renderer=renderer, lpips_fn=lpips_fn,
+        )
+    best = min(results, key=lambda k: results[k]["rot_error"])
+    return best, results
+
+
+def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config) -> np.ndarray:
+    """Synchronize the 5x4 pairwise pose predictions (reference: kubric_eval.py:95-145)."""
+    t = len(return_dict)
+    pose_dict = {}
+    best_pairs = []
+    for key, entry in return_dict.items():
+        mats = np.asarray(quat2mat(jnp.asarray(entry["poses_cam"])))
+        perm = entry["permutation"]
+        assert key == str(perm[0])
+        for idx in range(t - 1):
+            pose_dict[(int(key), perm[idx + 1])] = mats[idx]
+            if key == str(best_canonical_id):
+                best_pairs.append((int(key), idx))
+
+    conf_dict = {}
+    eye_q = np.array([1.0, 0, 0, 0, 0, 0, 0])
+    for i in range(t):
+        for j in range(t):
+            if i == j:
+                conf_dict[(i, j)] = 1.0
+            else:
+                cycle = pose_dict[(i, j)] @ pose_dict[(j, i)]
+                q = np.asarray(mat2quat(jnp.asarray(cycle[None])))[0]
+                theta, _ = M.compute_pose_metric(q, eye_q)
+                conf_dict[(i, j)] = (np.cos(theta * np.pi / 180.0) + 1) / 2
+
+    Ps, confidence = {}, {}
+    for pair in combinations(range(t), 2):
+        confidence[pair] = np.asarray([conf_dict[pair]], np.float64)
+        if pair in best_pairs or pair[::-1] not in best_pairs:
+            Ps[pair] = pose_np.se3_inverse(pose_dict[pair][None])
+        else:
+            Ps[pair] = pose_dict[pair[::-1]][None]
+
+    Ps_sync = S.camera_synchronization(
+        Ps, confidence, N=t, squares=10, center_first_camera=True
+    )
+    poses = pose_np.se3_inverse(Ps_sync[0])
+    poses = poses[return_dict[str(best_canonical_id)]["permutation"]]
+    rel = pose_np.get_relative_pose(poses[0], poses[1:])
+    return np.asarray(mat2quat(jnp.asarray(rel.astype(np.float32))))
+
+
+def run_optimization(
+    model: FORGE, variables, loader, cfg: Config, output_dir: str,
+    refiner: Optional[Callable] = None,
+    lpips_fn: Optional[Callable] = None,
+    split_num: int = 1, exp_id: int = 0,
+    use_sync: bool = False, iter_num: int = 1000,
+    max_instances: Optional[int] = None,
+) -> str:
+    """Full eval loop writing results.txt (reference: kubric_eval.py:36-93)."""
+    from forge_tpu.eval.refine import make_refiner
+
+    os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
+    outfile = os.path.join(output_dir, "results", "results.txt")
+    posefile = os.path.join(output_dir, "results", f"poses_{exp_id}.npz")
+    refiner = refiner or jax.jit(make_refiner(model, cfg, iter_num))
+    renderer = make_eval_renderer(model)
+    encode = jax.jit(
+        lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
+    )
+    pose_log = {}
+    done = 0
+
+    for batch_idx, sample in enumerate(loader):
+        if batch_idx % split_num != exp_id:
+            continue
+        if max_instances is not None and done >= max_instances:
+            break
+        done += 1
+        seen = (float(np.asarray(sample["seen_flag"]).ravel()[0]) > 0
+                if "seen_flag" in sample else True)
+
+        rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
+        best, results = evaluate_all(
+            model, variables, sample, rd, cfg, renderer=renderer,
+            lpips_fn=lpips_fn)
+        before = results[best]
+        entry = rd[best]
+        pose = entry["poses_cam"].copy()
+
+        if use_sync:
+            try:
+                pose_sync = sync_pose(rd, best, cfg)
+                gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4)[1:]
+                gt_q = np.asarray(mat2quat(jnp.asarray(gt)))
+                rot_sync, _ = M.pose_errors_capped(pose_sync, gt_q)
+                if rot_sync < before["rot_error"]:
+                    pose = pose_sync
+            except Exception as e:  # reference: try/except fallback (:72-78)
+                print(f"{batch_idx} fail to sync poses: {e}")
+
+        # refinement (jitted scan)
+        clips = np.asarray(sample["images"][:, :5])
+        perm = entry["permutation"]
+        target_imgs = jnp.asarray(clips[:, perm])
+        target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
+        camK = jnp.asarray(sample["K_cv2"][:, :5])
+        refined, rmetrics = refiner(
+            variables, jnp.asarray(pose), jnp.asarray(entry["features_raw"]),
+            camK, target_imgs, target_masks,
+        )
+        refined = np.asarray(refined)
+        entry_after = dict(entry)
+        entry_after["poses_cam"] = refined
+        after = evaluate_canonical(
+            model, variables, sample, entry_after, cfg,
+            renderer=renderer, lpips_fn=lpips_fn)
+
+        with open(outfile, "a+") as f:
+            for name, r in (("before", before), ("after", after)):
+                f.write(
+                    "idx {}, seen {}, {}, psnr {}, ssim {}, lpips {}, rot {}, "
+                    "trans {}, depth {}\n".format(
+                        batch_idx, seen, name, r["psnr"], r["ssim"],
+                        r["lpips"], r["rot_error"], r["trans_error"],
+                        r["depth_error"])
+                )
+        pose_log[batch_idx] = {
+            "before": entry["poses_cam"], "after": refined,
+            "gt": np.asarray(entry["gt_poses"]),
+        }
+        np.savez(posefile, **{str(k): v for k, v in
+                              ((f"{i}_{n}", pose_log[i][n])
+                               for i in pose_log for n in pose_log[i])})
+    return outfile

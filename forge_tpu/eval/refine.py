@@ -1,0 +1,85 @@
+"""Test-time pose optimization, fully jitted.
+
+TPU-native rebuild of the reference's refinement loop
+(kubric_eval.py:412-564): Adam on (quaternion, translation) leaves through the
+frozen rotate->fuse->decode->render graph, minimizing RGB+mask MSE against the
+input views. The reference re-builds and re-differentiates the torch graph on
+the host every iteration (up to 5000x per object); here the WHOLE loop is one
+`lax.scan` inside one jit — zero host round-trips, and the per-iteration graph
+is compiled once.
+
+Learning rates follow the reference: Adam lr 1e-3 for rotation, 5e-4 for
+translation, ExponentialLR with gamma=(lr_end/lr_start)^(1/iters) which is
+identically 1.0 in the released config (kubric_eval.py:442-447) — i.e.
+constant; we expose the knobs anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from forge_tpu.config import Config
+from forge_tpu.models.forge import FORGE, TrainFlags
+
+
+def make_refiner(
+    model: FORGE,
+    cfg: Config,
+    iter_num: int,
+    lr_rot: float = 1e-3,
+    lr_trans: float = 5e-4,
+    lr_end_scale: float = 1.0,
+) -> Callable:
+    """Build refine(variables, pose_vec, features_raw, camK, imgs, masks) ->
+    (pose_vec_refined [b*(t-1), 7], final_metrics dict)."""
+
+    flags = TrainFlags.none()
+    w_rgb, w_mask = cfg.loss.recon_rgb, cfg.loss.recon_mask
+
+    def loss_fn(params_rt, variables, features_raw, camK, timgs, tmasks):
+        vec = jnp.concatenate([params_rt["rot"], params_rt["trans"]], axis=-1)
+        imgs, masks = model.apply(
+            variables, features_raw, vec, camK, flags,
+            method=model.fuse_render_from_rel,
+        )
+        b, t = features_raw.shape[:2]
+        hw = imgs.shape[1]
+        loss_img = jnp.mean(jnp.square(imgs - timgs.reshape(b * t, hw, hw, 3)))
+        loss_mask = jnp.mean(jnp.square(masks - tmasks.reshape(b * t, hw, hw, 1)))
+        return w_rgb * loss_img + w_mask * loss_mask, (loss_img, loss_mask)
+
+    gamma = lr_end_scale ** (1.0 / max(iter_num, 1))
+    sched_rot = optax.exponential_decay(lr_rot, 1, gamma)
+    sched_trans = optax.exponential_decay(lr_trans, 1, gamma)
+    tx = optax.multi_transform(
+        {"rot": optax.adam(sched_rot), "trans": optax.adam(sched_trans)},
+        {"rot": "rot", "trans": "trans"},
+    )
+
+    def refine(variables, pose_vec, features_raw, camK, target_imgs, target_masks):
+        params_rt = {"rot": pose_vec[..., :4], "trans": pose_vec[..., 4:]}
+        opt_state = tx.init(params_rt)
+
+        def step(carry, _):
+            params_rt, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params_rt, variables, features_raw, camK, target_imgs, target_masks
+            )
+            updates, opt_state = tx.update(grads, opt_state, params_rt)
+            params_rt = optax.apply_updates(params_rt, updates)
+            return (params_rt, opt_state), loss
+
+        (params_rt, _), losses = jax.lax.scan(
+            step, (params_rt, opt_state), None, length=iter_num
+        )
+        quat = params_rt["rot"]
+        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+        refined = jnp.concatenate([quat, params_rt["trans"]], axis=-1)
+        return refined, {"loss_first": losses[0], "loss_last": losses[-1]}
+
+    return refine

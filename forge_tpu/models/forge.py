@@ -234,6 +234,91 @@ class FORGE(nn.Module):
             return_origin_proj=return_origin_proj,
         )
 
+    # ------------------------------------------------------------- eval paths
+
+    def encode_and_predict_poses(self, clips: jnp.ndarray, flags: Optional[TrainFlags] = None):
+        """Encode views and predict fused 2D+3D relative poses.
+
+        clips: [b, t, H, W, 3] -> (features_raw [b,t,32c,128],
+        poses_cam [b*(t-1), pose_dim], conf). Core of the eval harness's
+        per-canonical-permutation initialization (reference:
+        kubric_eval.py:371-409); all 5 permutations batch along b here.
+        """
+        flags = flags or TrainFlags.none()
+        features_raw = self.encode_views(clips, flags.encoder_3d)
+        poses_cam, conf = self.predict_poses_2d3d(clips, features_raw, flags)
+        return features_raw, poses_cam, conf
+
+    def fuse_render_from_rel(
+        self,
+        features_raw: jnp.ndarray,
+        rel_pose_vec: jnp.ndarray,
+        camK: jnp.ndarray,
+        flags: Optional[TrainFlags] = None,
+        render_depth: bool = False,
+        nvs_extr: Optional[jnp.ndarray] = None,
+        nvs_K: Optional[jnp.ndarray] = None,
+    ):
+        """Rotate + fuse + decode + render from predicted relative poses.
+
+        The shared trunk of test-time refinement (kubric_eval.py:450-491),
+        evaluation (kubric_eval.py:258-347) and the 360-degree visualizer
+        (kubric_eval.py:166-232). Fully jittable: one call renders either the
+        t input cameras (default) or the provided NVS cameras.
+
+        Args:
+          features_raw: [b, t, S, S, S, 128] per-view volumes.
+          rel_pose_vec: [b*(t-1), pose_dim] (quat part need not be normalized).
+          camK: [b, t, 3, 3] intrinsics of the input views.
+          nvs_extr/nvs_K: optional [b, n, 4, 4] / [b, n, 3, 3] held-out cameras.
+        """
+        flags = flags or TrainFlags.none()
+        b, t = features_raw.shape[:2]
+        quat = rel_pose_vec[..., :4]
+        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+        vec = jnp.concatenate([quat, rel_pose_vec[..., 4:]], axis=-1)
+        rel = to_se3(vec, self.cfg.network.rot_representation)
+        cam_poses, cam_extr = self.cameras_from_rel(rel, b)
+
+        feats_t = rotate_voxel_grids(
+            features_raw, cam_poses, self.cfg.render.volume_size
+        )
+        idxs = sequence_from_distance(cam_poses[:, :, :3, 3])
+        feats_t = chose_selected(feats_t, idxs)
+        feat, dens = self.fuse_and_decode(feats_t, flags)
+
+        if nvs_extr is not None:
+            camE, K = nvs_extr, nvs_K if nvs_K is not None else camK
+        else:
+            camE, K = cam_extr, camK
+        n = camE.shape[1]
+        S, C2 = feat.shape[1], feat.shape[-1]
+        feat_all = jnp.broadcast_to(feat[:, None], (b, n, S, S, S, C2)).reshape(
+            b * n, S, S, S, C2)
+        dens_all = jnp.broadcast_to(dens[:, None], (b, n, S, S, S, 1)).reshape(
+            b * n, S, S, S, 1)
+        return self.render_views(
+            feat_all, dens_all,
+            camE.reshape(b * n, 4, 4), K.reshape(b * n, 3, 3),
+            flags, render_depth=render_depth,
+        )
+
+    def fuse_render_from_poses(
+        self,
+        features_aligned_feat: jnp.ndarray,
+        features_aligned_dens: jnp.ndarray,
+        camE: jnp.ndarray,
+        camK: jnp.ndarray,
+        flags: Optional[TrainFlags] = None,
+        render_depth: bool = False,
+    ):
+        """Render pre-fused volumes with arbitrary cameras (360-degree NVS)."""
+        flags = flags or TrainFlags.none()
+        return self.render_views(
+            features_aligned_feat, features_aligned_dens,
+            camE, camK, flags, render_depth=render_depth,
+        )
+
     # ---------------------------------------------------------------- forward
 
     def __call__(self, sample: Dict[str, jnp.ndarray], flags: Optional[TrainFlags] = None):
