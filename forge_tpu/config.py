@@ -58,8 +58,10 @@ class RenderConfig:
     camera_z: float = 0.6
     camera_focal: float = 250
     k_size: int = 5
-    # forge_tpu extension: renderer backend, 'pallas' (fused kernel) or 'xla'
-    backend: str = "pallas"
+    # forge_tpu extension: renderer backend: 'xla' (gather-based reference),
+    # 'brick' (tiled one-hot-matmul fast path), 'pallas' (reserved; the
+    # hosted TPU relay cannot compile Pallas kernels as of round 1)
+    backend: str = "xla"
 
 
 @dataclass(frozen=True)

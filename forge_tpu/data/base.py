@@ -44,7 +44,19 @@ def load_rgba_frame(
 
     White background when not masking, black otherwise; LANCZOS ('ANTIALIAS')
     resize for rgb, NEAREST for mask (reference: dataset/kubric.py:410-430).
+
+    Set FORGE_NATIVE_IO=1 to decode through the C++ forge_io library
+    (multi-threaded batch decode on multi-core hosts; falls back here).
     """
+    if os.environ.get("FORGE_NATIVE_IO") == "1":
+        from forge_tpu.data import native_io
+
+        out = native_io.load_frame(path, img_size, mask_images)
+        if out is not None:
+            rgb_np, mask_np = out
+            if premultiply_mask:
+                rgb_np = rgb_np * mask_np
+            return rgb_np, mask_np
     img_pil = Image.open(path)
     arr = np.asarray(img_pil)
     if arr.ndim == 3 and arr.shape[2] == 4:

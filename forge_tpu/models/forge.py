@@ -234,6 +234,53 @@ class FORGE(nn.Module):
             return_origin_proj=return_origin_proj,
         )
 
+    def forward_pose2d(self, sample: Dict[str, jnp.ndarray], flags: TrainFlags):
+        """Standalone 2D pose estimator training forward.
+
+        reference: kubric_train_pose_2D.py + scripts/kubric_trainer_pose2D.py:19-39 —
+        predict [b*(t-1), 7] poses from images alone, quat-normalized, against
+        GT relative poses.
+        """
+        clips = sample["images"][:, :5]
+        b, t = clips.shape[:2]
+        pred = self.encoder_traj_2d(clips, flags.encoder_traj_2d)
+        quat = pred[..., :4]
+        quat = quat / jnp.maximum(
+            jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12
+        )
+        pred = jnp.concatenate([quat, pred[..., 4:]], axis=-1)
+        gt_rel = sample["cam_poses_rel_cv2"][:, 1:t].reshape(b * (t - 1), 4, 4)
+        return {"gt": geo.mat2quat(gt_rel), "pred": pred}, None
+
+    def init_all(self, sample: Dict[str, jnp.ndarray]):
+        """Initialization forward touching EVERY submodule.
+
+        The curriculum configs route around submodules (e.g. gt-pose training
+        never calls the pose estimators), but the unified parameter tree must
+        always be complete so checkpoint-surgery merges are well-defined.
+        Renders a single view to keep init tracing cheap.
+        """
+        flags = TrainFlags.none()
+        images = sample["images"]
+        b = images.shape[0]
+        t = min(5, images.shape[1])
+        clips = images[:, :t]
+        features_raw = self.encode_views(clips, False)
+        poses_cam, conf = self.predict_poses_2d3d(clips, features_raw, flags)
+        # out-head branches of both estimators (used by pose2d training / eval)
+        _ = self.encoder_traj(features_raw, False)
+        _ = self.encoder_traj_2d(clips, False)
+        rel = to_se3(poses_cam, self.cfg.network.rot_representation)
+        cam_poses, cam_extr = self.cameras_from_rel(rel, b)
+        feats_t = rotate_voxel_grids(
+            features_raw, cam_poses, self.cfg.render.volume_size
+        )
+        feat, dens = self.fuse_and_decode(feats_t, flags)
+        imgs, masks = self.render_views(
+            feat, dens, cam_extr[:, 0], sample["K_cv2"][:, 0], flags
+        )
+        return imgs
+
     # ------------------------------------------------------------- eval paths
 
     def encode_and_predict_poses(self, clips: jnp.ndarray, flags: Optional[TrainFlags] = None):

@@ -1,0 +1,342 @@
+"""Unified CLI: training curriculum, evaluation, demo, readout.
+
+Replaces the reference's 10 entry scripts (kubric_train_pose_{2D,3D}.py,
+kubric_train_joint.py, the omniobject clones, kubric_eval.py, omniobject_eval.py,
+demo.py) with one command surface:
+
+    python -m forge_tpu.run train --cfg configs/kubric/gt_pose.yaml --family single
+    python -m forge_tpu.run train --cfg configs/kubric/joint_pose_2d3d.yaml --family full \
+        --load 'encoder_3d,render=<cpt>' --load '*=<cpt>;drop=encoder_3d/fusion_feature'
+    python -m forge_tpu.run eval  --cfg configs/kubric/optimize_seen.yaml \
+        --checkpoint <cpt> --sync --split-num 8 --exp-id 0 --iter-num 1000
+    python -m forge_tpu.run demo  --cfg configs/demo/demo.yaml --checkpoint <cpt> --images <dir>
+    python -m forge_tpu.run readout --results <dir>/results/results.txt
+
+Family mapping to the reference curriculum entries: 'single' =
+kubric_train_pose_3D.py (steps 1.x), 'pose2d' = kubric_train_pose_2D.py
+(step 2), 'full' = kubric_train_joint.py (steps 3.x). The `--load` flag is the
+declarative form of the reference's 9 checkpoint-surgery loaders
+(utils/exp_utils.py:185-422).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _build_dataset(cfg, split: str, synthetic: bool):
+    if synthetic or cfg.dataset.root == "":
+        from forge_tpu.data import SyntheticVoxelDataset
+
+        n = 8 if split == "train" else 2
+        return SyntheticVoxelDataset(cfg, split=split, n_seqs=n,
+                                     grid=cfg.dataset.img_size // 2)
+    name = cfg.dataset.name
+    if name == "kubric":
+        from forge_tpu.data import KubricDataset
+
+        return KubricDataset(cfg, split=split)
+    if name == "gso":
+        from forge_tpu.data import GSODataset
+
+        return GSODataset(cfg, split=split)
+    if name == "omniobject3d":
+        from forge_tpu.data import OmniObject3DDataset
+
+        return OmniObject3DDataset(cfg, split=split)
+    raise ValueError(f"unknown dataset {name}")
+
+
+def _parse_loads(load_specs: List[str]):
+    """'sub1,sub2=path[;drop=p1,p2]' -> [(subtrees, drops, path)]."""
+    out = []
+    for spec in load_specs or []:
+        drop: List[str] = []
+        if ";drop=" in spec:
+            spec, dropstr = spec.split(";drop=")
+            drop = dropstr.split(",")
+        subtrees, path = spec.split("=", 1)
+        out.append((tuple(subtrees.split(",")), tuple(drop), path))
+    return out
+
+
+def _init_variables(model, cfg, sample, seed):
+    import jax
+    from forge_tpu.models.forge import TrainFlags
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda s: model.init({"params": jax.random.PRNGKey(seed)}, s,
+                                 method=model.init_all)
+        )(jax.device_put(sample, cpu))
+    return variables
+
+
+def cmd_train(args) -> int:
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from forge_tpu.config import update_config
+    from forge_tpu.models import FORGE
+    from forge_tpu.parallel import make_mesh, shard_batch
+    from forge_tpu.data import Loader
+    from forge_tpu.train import (
+        create_train_state, make_train_step, get_curriculum_step)
+    from forge_tpu.train.state import TrainState, make_optimizer
+    from forge_tpu.train.trainer import train_epoch
+    from forge_tpu.train.validation import make_validator
+    from forge_tpu.utils.exp import create_logger
+    from forge_tpu.utils import checkpoint as CKPT
+
+    cfg = update_config(args.cfg)
+    if args.epochs:
+        from forge_tpu.config import merge_config
+
+        cfg = merge_config(cfg, {"train": {"end_epoch": args.epochs}})
+    logger, output_dir = create_logger(cfg, args.cfg, phase="train")
+    logger.info(f"config: {args.cfg}; family={args.family}; "
+                f"mode={cfg.train.parameter}")
+
+    step_def = get_curriculum_step(args.family, cfg.train.parameter or "pose")
+    model = FORGE(cfg)
+
+    train_ds = _build_dataset(cfg, "train", args.synthetic)
+    val_ds = _build_dataset(cfg, "test", args.synthetic)
+    loader = Loader(train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.seed)
+    val_loader = Loader(val_ds, 1, drop_last=False)
+
+    sample0 = next(iter(Loader(train_ds, 1)))
+    sample0 = {k: v for k, v in sample0.items() if not isinstance(v, list)}
+
+    variables = _init_variables(model, cfg, sample0, cfg.seed)
+
+    # checkpoint surgery (--load)
+    for subtrees, drop, path in _parse_loads(args.load):
+        src = CKPT.load_variables(path)
+        variables = CKPT.load_subtrees(variables, src, subtrees, drop)
+        logger.info(f"loaded {subtrees} (drop {drop}) from {path}")
+
+    tx = make_optimizer(cfg, variables["params"], step_def)
+    import jax.numpy as jnp
+    from flax.core import FrozenDict
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+    )
+    start_epoch = 0
+    if cfg.train.resume:
+        last = os.path.join(output_dir, "cpt_last")
+        if os.path.exists(last):
+            restored = CKPT.load_checkpoint(last)
+            state = jax.tree.map(lambda a, b: b, state, restored["state"])
+            start_epoch = int(restored.get("metadata", {}).get("epoch", 0)) + 1
+            logger.info(f"resumed from {last} at epoch {start_epoch}")
+
+    mesh = make_mesh(cfg.train.num_devices or 0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+
+    train_step = jax.jit(
+        make_train_step(model, cfg, step_def, tx),
+        in_shardings=(repl, data, repl, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    validate = make_validator(model, cfg, use_gt_pose=cfg.train.use_gt_pose)
+    best = CKPT.BestTracker(output_dir)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(start_epoch, cfg.train.end_epoch):
+        state, rng, avg = train_epoch(
+            cfg, loader, state, train_step, rng, epoch, mesh=mesh, logger=logger)
+        CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
+                             {"epoch": epoch, **avg})
+        if (epoch + 1) % max(1, args.val_every) == 0:
+            vvars = {"params": state.params, "batch_stats": state.batch_stats}
+            vm = validate(jax.device_get(vvars), val_loader, logger)
+            best.update(state, psnr=vm.get("psnr"), rot=vm.get("rot"))
+    logger.info("training done")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+
+    from forge_tpu.config import update_config
+    from forge_tpu.models import FORGE
+    from forge_tpu.data import Loader
+    from forge_tpu.eval.evaluate import run_optimization
+    from forge_tpu.utils.exp import create_logger
+    from forge_tpu.utils import checkpoint as CKPT
+
+    cfg = update_config(args.cfg)
+    logger, output_dir = create_logger(cfg, args.cfg, phase="eval")
+    model = FORGE(cfg)
+    ds = _build_dataset(cfg, "test", args.synthetic)
+    loader = Loader(ds, 1, drop_last=False)
+
+    sample0 = next(iter(loader))
+    sample0 = {k: v for k, v in sample0.items() if not isinstance(v, list)}
+    variables = _init_variables(model, cfg, sample0, cfg.seed)
+    if args.checkpoint:
+        src = CKPT.load_checkpoint(args.checkpoint)
+        st = src["state"]
+        variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
+        logger.info(f"loaded checkpoint {args.checkpoint}")
+
+    outfile = run_optimization(
+        model, variables, loader, cfg, output_dir,
+        split_num=args.split_num, exp_id=args.exp_id,
+        use_sync=args.sync, iter_num=args.iter_num,
+        max_instances=args.max_instances,
+    )
+    from forge_tpu.eval.readout import summarize
+
+    summarize(outfile, print_fn=logger.info)
+    return 0
+
+
+def cmd_demo(args) -> int:
+    """Few real images -> pose estimation -> refinement -> turntable GIF.
+
+    reference: demo.py:30-263 (pseudo-masks from intensity threshold,
+    2000-iter refinement, 28-view 360 GIF).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from forge_tpu.config import update_config
+    from forge_tpu.models import FORGE, TrainFlags
+    from forge_tpu.eval.refine import make_refiner
+    from forge_tpu.geometry.cameras import look_at_view_transform_cv2
+    from forge_tpu.utils import checkpoint as CKPT
+    from forge_tpu.utils.vis import vis_nvs
+    from forge_tpu.utils.exp import create_logger
+
+    cfg = update_config(args.cfg)
+    logger, output_dir = create_logger(cfg, args.cfg, phase="demo")
+    model = FORGE(cfg)
+    s = cfg.dataset.img_size
+
+    if args.images and os.path.isdir(args.images):
+        from PIL import Image
+
+        files = sorted(
+            f for f in os.listdir(args.images)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))[:5]
+        imgs = []
+        for f in files:
+            im = Image.open(os.path.join(args.images, f)).convert("RGB")
+            imgs.append(np.asarray(im.resize((s, s), Image.LANCZOS),
+                                   dtype=np.float32) / 255.0)
+        clips = np.stack(imgs)[None]
+    else:
+        from forge_tpu.data import SyntheticVoxelDataset
+
+        ds = SyntheticVoxelDataset(cfg, "test", n_seqs=1, grid=s // 2)
+        clips = ds[0]["images"][None, :5]
+    t = clips.shape[1]
+    # pseudo-masks from intensity (reference: demo.py:119)
+    masks = (clips.sum(-1, keepdims=True) > 0.05).astype(np.float32)
+    f = 250.0 * s / 256.0  # hardcoded K (reference: demo.py:39)
+    K = np.tile(np.array([[f, 0, s / 2], [0, f, s / 2], [0, 0, 1]], np.float32),
+                (1, t, 1, 1))
+
+    if args.checkpoint:
+        st = CKPT.load_checkpoint(args.checkpoint)["state"]
+        variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
+    else:
+        import __graft_entry__ as ge
+
+        variables = _init_variables(
+            model, cfg, ge.synthetic_sample(cfg, b=1, t_all=10), cfg.seed)
+
+    encode = jax.jit(
+        lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses))
+    features_raw, poses_cam, _ = encode(variables, jnp.asarray(clips))
+
+    refiner = jax.jit(make_refiner(model, cfg, args.iter_num))
+    refined, _ = refiner(variables, poses_cam, features_raw,
+                         jnp.asarray(K), jnp.asarray(clips), jnp.asarray(masks))
+
+    # 360-degree turntable (reference: kubric_eval.py:190-232, 28 views)
+    n_views = 28
+    R, tt = look_at_view_transform_cv2(
+        dist=np.full(n_views, cfg.render.camera_z),
+        elev=np.zeros(n_views),
+        azim=np.linspace(0, 360, n_views) + 180,
+    )
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, n_views, 1, 1))
+    extr[0, :, :3, :3] = R
+    extr[0, :, :3, 3] = tt
+    nvs_K = np.tile(K[:, :1], (1, n_views, 1, 1))
+    render = jax.jit(lambda v, fr, pv, k, ne, nk: model.apply(
+        v, fr, pv, k, TrainFlags.none(), False, ne, nk,
+        method=model.fuse_render_from_rel))
+    imgs, _ = render(variables, features_raw, refined, jnp.asarray(K),
+                     jnp.asarray(extr), jnp.asarray(nvs_K))
+    path = vis_nvs(np.asarray(imgs), "demo_360", output_dir)
+    logger.info(f"wrote {path}")
+    return 0
+
+
+def cmd_readout(args) -> int:
+    from forge_tpu.eval.readout import summarize
+
+    summarize(args.results)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser("forge_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tp = sub.add_parser("train")
+    tp.add_argument("--cfg", required=True)
+    tp.add_argument("--family", default="full",
+                    choices=["single", "full", "pose2d"])
+    tp.add_argument("--synthetic", action="store_true")
+    tp.add_argument("--epochs", type=int, default=0)
+    tp.add_argument("--val-every", type=int, default=10)
+    tp.add_argument("--load", action="append", default=[],
+                    help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
+    tp.set_defaults(fn=cmd_train)
+
+    ep = sub.add_parser("eval")
+    ep.add_argument("--cfg", required=True)
+    ep.add_argument("--checkpoint", default="")
+    ep.add_argument("--synthetic", action="store_true")
+    ep.add_argument("--sync", action="store_true")
+    ep.add_argument("--split-num", type=int, default=1)
+    ep.add_argument("--exp-id", type=int, default=0)
+    ep.add_argument("--iter-num", type=int, default=1000)
+    ep.add_argument("--max-instances", type=int, default=None)
+    ep.set_defaults(fn=cmd_eval)
+
+    dp = sub.add_parser("demo")
+    dp.add_argument("--cfg", required=True)
+    dp.add_argument("--checkpoint", default="")
+    dp.add_argument("--images", default="")
+    dp.add_argument("--iter-num", type=int, default=2000)
+    dp.set_defaults(fn=cmd_demo)
+
+    rp = sub.add_parser("readout")
+    rp.add_argument("--results", required=True)
+    rp.set_defaults(fn=cmd_readout)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,10 @@ CURRICULUM = {
         ("encoder_traj", "encoder_3d/fusion_feature", "render"),
         TrainFlags(encoder_traj=True, fusion=True, conv_rgb=True),
     ),
+    # --- standalone 2D pose estimator (kubric_train_pose_2D.py, step 2) ---
+    ("pose2d", "pose"): CurriculumStep(
+        "pose2d", "pose", ("encoder_traj_2d",), TrainFlags(encoder_traj_2d=True)
+    ),
     # --- full 2D+3D family (kubric_train_joint.py) ---
     # step 3.1: fuse-head pretrain
     ("full", "pose_head"): CurriculumStep(

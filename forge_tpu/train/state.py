@@ -102,7 +102,10 @@ def make_optimizer(cfg: Config, params, step: CurriculumStep) -> optax.GradientT
 def create_train_state(
     model: FORGE, cfg: Config, sample, rng, step: CurriculumStep
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init({"params": rng}, sample, TrainFlags.none())
+    # init_all touches every submodule so the parameter tree is complete
+    # regardless of which curriculum step runs first (subtree surgery and
+    # later steps need the full tree).
+    variables = model.init({"params": rng}, sample, method=model.init_all)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, params, step)
@@ -129,7 +132,11 @@ def make_train_step(
     VGG params (reference DDP-wraps the VGG loss, kubric_train_joint.py:125).
     """
     flags = step_def.flags
-    fwd = model.forward_single if step_def.forward == "single" else model.forward_full
+    fwd = {
+        "single": model.forward_single,
+        "full": model.forward_full,
+        "pose2d": model.forward_pose2d,
+    }[step_def.forward]
 
     def loss_fn(params, batch_stats, sample, rng, epoch):
         variables = {"params": params, "batch_stats": batch_stats}

@@ -1,0 +1,63 @@
+"""Epoch-level training orchestration.
+
+TPU-native rebuild of the reference train loop (scripts/kubric_trainer.py:16-101):
+the per-batch work (forward, loss, backward, clip, optimizer, LR schedule,
+gradient accumulation, cross-device averaging) is ALL inside the jitted
+train_step; the host loop only feeds batches, folds RNG, logs meters and emits
+visualizations. No barriers (SPMD lockstep), no .item() syncs except at
+print_freq boundaries.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+
+from forge_tpu.config import Config
+from forge_tpu.utils.exp import AverageMeters, StepTimer
+
+
+def train_epoch(
+    cfg: Config,
+    loader,
+    state,
+    train_step: Callable,
+    rng,
+    epoch: int,
+    mesh=None,
+    logger=None,
+    vis_fn: Optional[Callable] = None,
+    timer: Optional[StepTimer] = None,
+):
+    """Run one epoch; returns (state, rng, epoch_metrics)."""
+    meters = AverageMeters()
+    timer = timer or StepTimer()
+    log = logger.info if logger else print
+    n_batches = len(loader)
+
+    loader.set_epoch(epoch)
+    for i, batch in enumerate(loader):
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if mesh is not None:
+            from forge_tpu.parallel import shard_batch
+
+            arrays = shard_batch(arrays, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, arrays, step_rng, epoch)
+
+        if (i + 1) % cfg.print_freq == 0 or i == n_batches - 1:
+            host = {k: float(v) for k, v in metrics.items()}
+            meters.update(host, n=arrays["images"].shape[0])
+            dt = timer.step(i)
+            log(
+                f"epoch {epoch} [{i + 1}/{n_batches}] "
+                + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                + f" ({dt:.2f}s since last log)"
+            )
+        if vis_fn is not None and cfg.vis_freq > 0 and (i + 1) % cfg.vis_freq == 0:
+            vis_fn(state, batch, epoch, i)
+
+    return state, rng, meters.avg()

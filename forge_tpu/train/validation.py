@@ -1,0 +1,104 @@
+"""In-training validation: NVS PSNR/SSIM + pose errors, seen/unseen buckets.
+
+Functional parity with the reference validation (scripts/kubric_validation.py:15-558):
+subsample the val split by eval_vis_freq, re-run encode -> (predict or GT
+poses) -> rotate -> fuse -> render on the 5 held-out views, accumulate PSNR /
+SSIM and rotation / translation errors bucketed by seen_flag. The
+recompute-everything loop collapses into the same jitted eval paths the eval
+harness uses. (The reference's 'kurbic' typo at kubric_validation.py:279,541
+— falling through to the last bucket for the combined metric — is not
+reproduced; we return the overall means.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forge_tpu.config import Config
+from forge_tpu.models.forge import FORGE, TrainFlags
+from forge_tpu.eval import metrics as M
+from forge_tpu.eval.evaluate import make_eval_renderer
+from forge_tpu.geometry.rotations import mat2quat
+
+
+def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False):
+    """Returns validate(variables, loader) -> metrics dict."""
+    renderer = make_eval_renderer(model)
+    encode = jax.jit(
+        lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
+    )
+    encode_only = jax.jit(
+        lambda v, x: model.apply(
+            v, x, False, method=lambda m, c, t: m.encode_views(c, t))
+    )
+
+    def validate(variables, loader, logger=None) -> Dict[str, float]:
+        log = logger.info if logger else print
+        buckets: Dict[str, Dict[str, list]] = {}
+
+        for sample in loader:
+            arrays = {k: v for k, v in sample.items() if not isinstance(v, list)}
+            clips = arrays["images"][:, :5]
+            b = clips.shape[0]
+            assert b == 1, "validation runs at batch 1 like the reference"
+            seen = True
+            if "seen_flag" in arrays:
+                seen = float(np.asarray(arrays["seen_flag"]).ravel()[0]) > 0
+
+            if use_gt_pose:
+                features_raw = encode_only(variables, jnp.asarray(clips))
+                gt_rel = np.asarray(arrays["cam_poses_rel_cv2"][:, 1:5])
+                pose_vec = np.asarray(
+                    mat2quat(jnp.asarray(gt_rel.reshape(-1, 4, 4))))
+                rot_err = trans_err = 0.0
+            else:
+                features_raw, poses_cam, _ = encode(
+                    variables, jnp.asarray(clips))
+                pose_vec = np.asarray(poses_cam)
+                gt_rel = np.asarray(arrays["cam_poses_rel_cv2"][:, 1:5])
+                gt_q = np.asarray(mat2quat(jnp.asarray(gt_rel.reshape(-1, 4, 4))))
+                rot_err, trans_err = M.pose_errors_capped(pose_vec, gt_q)
+
+            nvs_extr = jnp.asarray(arrays["cam_extrinsics_cv2_canonicalized"][:, 5:])
+            nvs_K = jnp.asarray(arrays["K_cv2"][:, 5:])
+            imgs, masks, _ = renderer(
+                variables, features_raw, jnp.asarray(pose_vec),
+                jnp.asarray(arrays["K_cv2"][:, :5]), nvs_extr, nvs_K,
+            )
+            imgs = np.asarray(imgs)
+            gt_imgs = np.asarray(arrays["images"][:, 5:])[0]
+            psnr = ssim = 0.0
+            for i in range(gt_imgs.shape[0]):
+                p, s = M.compute_img_metric(imgs[i], gt_imgs[i])
+                psnr += p
+                ssim += s
+            psnr /= gt_imgs.shape[0]
+            ssim /= gt_imgs.shape[0]
+
+            key = "seen" if seen else "unseen"
+            bk = buckets.setdefault(
+                key, {"psnr": [], "ssim": [], "rot": [], "trans": []})
+            bk["psnr"].append(psnr)
+            bk["ssim"].append(ssim)
+            bk["rot"].append(rot_err)
+            bk["trans"].append(trans_err)
+
+        out: Dict[str, float] = {}
+        all_psnr, all_rot = [], []
+        for key, bk in buckets.items():
+            for field, vals in bk.items():
+                out[f"{key}_{field}"] = float(np.mean(vals)) if vals else 0.0
+            all_psnr += bk["psnr"]
+            all_rot += bk["rot"]
+        out["psnr"] = float(np.mean(all_psnr)) if all_psnr else 0.0
+        out["rot"] = float(np.mean(all_rot)) if all_rot else 0.0
+        out["ssim"] = float(np.mean(
+            [v for bk in buckets.values() for v in bk["ssim"]])) if buckets else 0.0
+        log("validation: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    return validate
