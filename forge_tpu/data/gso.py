@@ -75,6 +75,11 @@ class GSODataset(FrameSequenceDataset):
                 depths.append(d[..., None].astype(np.float32))
         images = np.stack(imgs)
         masks_np = np.stack(masks)
+        if self.color_aug and self.split == "train":
+            # sequence-consistent jitter (reference: dataset/gso.py:170-172)
+            from forge_tpu.data.augment import color_jitter_seq
+
+            images = color_jitter_seq(images, self.rng)
         if cfg.dataset.mask_images:
             images = images * masks_np
 

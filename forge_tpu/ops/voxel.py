@@ -74,7 +74,9 @@ def rotate_voxel_grids(
         jnp.einsum("bvij,dhwj->bvdhwi", rot, coords)
         + trans[:, :, None, None, None, :]
     )                                                                # [B,t-1,D,H,W,3]
-    grid = (p / cmax).astype(dtype)
+    # sample POSITIONS stay f32 even when feature values are bf16 — bf16
+    # coordinates would cost ~0.25 voxel of position precision.
+    grid = (p / cmax).astype(jnp.float32)
 
     src = voxels[:, 1:].reshape(B * (t - 1), D, H, W, C)
     sampled = grid_sample_3d(

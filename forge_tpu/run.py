@@ -83,7 +83,7 @@ def cmd_train(args) -> int:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from forge_tpu.config import update_config
-    from forge_tpu.models import FORGE
+    from forge_tpu.models import FORGE, build_model
     from forge_tpu.parallel import make_mesh, shard_batch
     from forge_tpu.data import Loader
     from forge_tpu.train import (
@@ -104,7 +104,7 @@ def cmd_train(args) -> int:
                 f"mode={cfg.train.parameter}")
 
     step_def = get_curriculum_step(args.family, cfg.train.parameter or "pose")
-    model = FORGE(cfg)
+    model = build_model(cfg)
 
     train_ds = _build_dataset(cfg, "train", args.synthetic)
     val_ds = _build_dataset(cfg, "test", args.synthetic)
@@ -173,7 +173,7 @@ def cmd_eval(args) -> int:
     import jax
 
     from forge_tpu.config import update_config
-    from forge_tpu.models import FORGE
+    from forge_tpu.models import FORGE, build_model
     from forge_tpu.data import Loader
     from forge_tpu.eval.evaluate import run_optimization
     from forge_tpu.utils.exp import create_logger
@@ -181,7 +181,7 @@ def cmd_eval(args) -> int:
 
     cfg = update_config(args.cfg)
     logger, output_dir = create_logger(cfg, args.cfg, phase="eval")
-    model = FORGE(cfg)
+    model = build_model(cfg)
     ds = _build_dataset(cfg, "test", args.synthetic)
     loader = Loader(ds, 1, drop_last=False)
 
@@ -225,7 +225,7 @@ def cmd_demo(args) -> int:
 
     cfg = update_config(args.cfg)
     logger, output_dir = create_logger(cfg, args.cfg, phase="demo")
-    model = FORGE(cfg)
+    model = build_model(cfg)
     s = cfg.dataset.img_size
 
     if args.images and os.path.isdir(args.images):

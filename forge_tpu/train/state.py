@@ -64,18 +64,25 @@ def trainable_labels(params, prefixes: Tuple[str, ...]):
 
 
 def lr_schedule(cfg: Config) -> optax.Schedule:
-    """Step schedule: lr halves at each milestone iteration.
+    """Step schedule: lr halves at each milestone iteration, with a 500-step
+    linear warmup on omniobject3d.
 
-    reference: utils/train_utils.py:149-164 (factors .5/.25/.125/.0625) with
-    lr scaled by accumulation_step (kubric_train_pose_3D.py:109).
+    reference: utils/train_utils.py:149-164 (factors .5/.25/.125/.0625,
+    omniobject warmup) with lr scaled by accumulation_step
+    (kubric_train_pose_3D.py:109).
     """
     base = cfg.train.lr * cfg.train.accumulation_step
     milestones = [m for m in cfg.train.adjust_iter_num if m > 0]
-    if not milestones:
-        return optax.constant_schedule(base)
-    return optax.piecewise_constant_schedule(
-        base, {int(m): 0.5 for m in milestones}
-    )
+    if milestones:
+        sched = optax.piecewise_constant_schedule(
+            base, {int(m): 0.5 for m in milestones}
+        )
+    else:
+        sched = optax.constant_schedule(base)
+    if cfg.dataset.name == "omniobject3d":
+        warmup = optax.linear_schedule(0.0, base, 500)
+        sched = optax.join_schedules([warmup, sched], [500])
+    return sched
 
 
 def make_optimizer(cfg: Config, params, step: CurriculumStep) -> optax.GradientTransformation:
