@@ -203,6 +203,33 @@ def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config) -> np.ndar
     return np.asarray(mat2quat(jnp.asarray(rel.astype(np.float32))))
 
 
+def visualize_360(model, variables, entry, camK, cfg, output_dir, name,
+                  batch_idx, n_views: int = 28):
+    """Turntable GIF from the current pose estimate
+    (reference: kubric_eval.py:166-232)."""
+    from forge_tpu.geometry.cameras import look_at_view_transform_cv2
+    from forge_tpu.utils.vis import vis_nvs
+
+    R, t = look_at_view_transform_cv2(
+        dist=np.full(n_views, cfg.render.camera_z),
+        elev=np.zeros(n_views),
+        azim=np.linspace(0, 360, n_views) + 180,
+    )
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, n_views, 1, 1))
+    extr[0, :, :3, :3] = R
+    extr[0, :, :3, 3] = t
+    nvs_K = np.tile(np.asarray(camK)[:, :1], (1, n_views, 1, 1))
+    renderer = make_eval_renderer(model)
+    imgs, masks, _ = renderer(
+        variables, jnp.asarray(entry["features_raw"]),
+        jnp.asarray(entry["poses_cam"]), jnp.asarray(camK),
+        jnp.asarray(extr), jnp.asarray(nvs_K),
+    )
+    return vis_nvs(np.asarray(imgs).astype(np.float32),
+                   f"{batch_idx}", output_dir,
+                   subfolder=os.path.join("vis_360", name))
+
+
 def run_optimization(
     model: FORGE, variables, loader, cfg: Config, output_dir: str,
     refiner: Optional[Callable] = None,
@@ -210,6 +237,7 @@ def run_optimization(
     split_num: int = 1, exp_id: int = 0,
     use_sync: bool = False, iter_num: int = 1000,
     max_instances: Optional[int] = None,
+    visualize: bool = False,
 ) -> str:
     """Full eval loop writing results.txt (reference: kubric_eval.py:36-93)."""
     from forge_tpu.eval.refine import make_refiner
@@ -241,6 +269,10 @@ def run_optimization(
         before = results[best]
         entry = rd[best]
         pose = entry["poses_cam"].copy()
+        camK5 = np.asarray(sample["K_cv2"])[:, :5]
+        if visualize:
+            visualize_360(model, variables, entry, camK5, cfg, output_dir,
+                          "before", batch_idx)
 
         if use_sync:
             try:
@@ -269,6 +301,9 @@ def run_optimization(
         after = evaluate_canonical(
             model, variables, sample, entry_after, cfg,
             renderer=renderer, lpips_fn=lpips_fn)
+        if visualize:
+            visualize_360(model, variables, entry_after, camK5, cfg,
+                          output_dir, "after", batch_idx)
 
         with open(outfile, "a+") as f:
             for name, r in (("before", before), ("after", after)):

@@ -138,6 +138,13 @@ def render_volume(
     backend: str = "xla",
 ) -> jnp.ndarray:
     """Backend dispatcher; see `render_volume_xla` for the contract."""
+    if backend == "packed":
+        from forge_tpu.ops.ray_march_packed import render_volume_packed
+
+        return render_volume_packed(
+            features, densities, K, R, t, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size,
+        )
     if backend == "pallas":
         from forge_tpu.ops.ray_march_pallas import render_volume_pallas
 

@@ -152,7 +152,9 @@ def cmd_train(args) -> int:
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
-    validate = make_validator(model, cfg, use_gt_pose=cfg.train.use_gt_pose)
+    validate = make_validator(
+        model, cfg, use_gt_pose=cfg.train.use_gt_pose,
+        pose_source="3d" if args.family == "single" else "2d3d")
     best = CKPT.BestTracker(output_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 

@@ -25,12 +25,30 @@ from forge_tpu.eval.evaluate import make_eval_renderer
 from forge_tpu.geometry.rotations import mat2quat
 
 
-def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False):
-    """Returns validate(variables, loader) -> metrics dict."""
+def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False,
+                   pose_source: str = "2d3d"):
+    """Returns validate(variables, loader) -> metrics dict.
+
+    pose_source: '2d3d' uses the fused head (validate, reference:
+    kubric_validation.py:299); '3d' uses the 3D estimator alone
+    (validate_poseEstimator3D, reference: kubric_validation.py:15).
+    """
     renderer = make_eval_renderer(model)
-    encode = jax.jit(
-        lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
-    )
+
+    def _encode_2d3d(v, x):
+        return model.apply(v, x, method=model.encode_and_predict_poses)
+
+    def _encode_3d(v, x):
+        def fn(m, clips):
+            feats = m.encode_views(clips, False)
+            pose, conf = m.encoder_traj(feats, False)
+            quat = pose[..., :4]
+            quat = quat / jnp.maximum(
+                jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+            return feats, jnp.concatenate([quat, pose[..., 4:]], -1), conf
+        return model.apply(v, x, method=fn)
+
+    encode = jax.jit(_encode_2d3d if pose_source == "2d3d" else _encode_3d)
     encode_only = jax.jit(
         lambda v, x: model.apply(
             v, x, False, method=lambda m, c, t: m.encode_views(c, t))

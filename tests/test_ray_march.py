@@ -118,3 +118,26 @@ def test_render_offcenter_voxel_direction():
     opac = out[0, :, :, 1]
     ii, jj = np.unravel_index(np.argmax(opac), opac.shape)
     assert ii > img // 2 and jj > img // 2, (ii, jj)
+
+
+def test_packed_backend_matches_xla():
+    """'packed' (one gather row per sample) must agree with the reference
+    XLA path bit-for-tolerance, including boundary samples."""
+    from forge_tpu.ops.ray_march_packed import render_volume_packed
+
+    rng = np.random.RandomState(7)
+    S, img, B = 12, 10, 2
+    feats = rng.rand(B, S, S, S, 4).astype(np.float32)
+    dens = (rng.rand(B, S, S, S, 1) * 0.4).astype(np.float32)
+    K = np.tile(np.array([[[9.0, 0, img / 2], [0, 9.0, img / 2], [0, 0, 1]]],
+                         np.float32), (B, 1, 1))
+    R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t = np.tile(np.array([0.05, -0.08, 1.5], np.float32), (B, 1))
+
+    args = (jnp.asarray(feats), jnp.asarray(dens), jnp.asarray(K),
+            jnp.asarray(R), jnp.asarray(t))
+    kw = dict(image_size=img, n_pts_per_ray=24, min_depth=0.5,
+              max_depth=2.0, volume_size=1.0)
+    ref = np.asarray(render_volume_xla(*args, **kw))
+    out = np.asarray(render_volume_packed(*args, **kw))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
