@@ -146,8 +146,33 @@ def cmd_train(args) -> int:
     data = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, repl)
 
+    perceptual_apply = None
+    if cfg.loss.perceptual_img > 0 and step_def.loss in ("recon", "all", "all_nvs"):
+        # frozen VGG16 perceptual net (reference DDP-wraps it,
+        # kubric_train_joint.py:125); params are closure constants — load
+        # converted torchvision weights when provided, else seeded random.
+        from forge_tpu.models.perceptual import VGGPerceptualLoss
+
+        ploss = VGGPerceptualLoss()
+        with jax.default_device(jax.devices("cpu")[0]):
+            s0 = jnp.zeros((1, 64, 64, 3))
+            pvars = jax.jit(lambda a, b: ploss.init(
+                jax.random.PRNGKey(7), a, b))(s0, s0)
+        if args.vgg_checkpoint:
+            import numpy as _np
+
+            sd = dict(_np.load(args.vgg_checkpoint, allow_pickle=True))
+            from forge_tpu.utils.convert_torch import convert_vgg16_blocks
+
+            pvars = {"params": {"vgg": convert_vgg16_blocks(sd)}}
+            logger.info(f"loaded VGG weights from {args.vgg_checkpoint}")
+        pvars = jax.device_put(pvars, repl)
+
+        def perceptual_apply(x, y):
+            return ploss.apply(pvars, x, y)
+
     train_step = jax.jit(
-        make_train_step(model, cfg, step_def, tx),
+        make_train_step(model, cfg, step_def, tx, perceptual_apply),
         in_shardings=(repl, data, repl, None),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -312,6 +337,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--val-every", type=int, default=10)
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
+    tp.add_argument("--vgg-checkpoint", default="",
+                    help=".npz of torchvision vgg16 state dict for the "
+                         "perceptual loss")
     tp.set_defaults(fn=cmd_train)
 
     ep = sub.add_parser("eval")
