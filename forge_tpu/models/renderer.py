@@ -79,14 +79,22 @@ class VolRender(nn.Module):
         K = halve_intrinsics(camera_params["K"])
         R, T = camera_params["R"], camera_params["T"]
 
-        raw = render_volume(
-            feature_3d, density_3d, K, R, T,
-            image_size=half,
-            n_pts_per_ray=self.n_pts_per_ray,
-            min_depth=self.min_depth,
-            max_depth=self.max_depth,
-            volume_size=self.volume_size,
-            backend=self.backend,
+        # Rematerialize the ray march: the sampled tensor is
+        # [B, half, half, n_pts, C] (~7.5 GB at the reference training batch)
+        # — recompute it in the backward instead of storing it.
+        def _render(feature_3d, density_3d, K, R, T):
+            return render_volume(
+                feature_3d, density_3d, K, R, T,
+                image_size=half,
+                n_pts_per_ray=self.n_pts_per_ray,
+                min_depth=self.min_depth,
+                max_depth=self.max_depth,
+                volume_size=self.volume_size,
+                backend=self.backend,
+            )
+
+        raw = jax.checkpoint(_render)(
+            feature_3d, density_3d, K, R, T
         )                                                       # [B,half,half,C+2]
         C = feature_3d.shape[-1]
         feat_img = raw[..., :C]
