@@ -80,10 +80,10 @@ def load_subtrees(
       - the encoder_traj.out drop (kubric_eval.py:619) -> drop=('encoder_traj/out_',)
     """
     out = {}
+    total_merged = 0
     for coll in variables:
         dst = traverse_util.flatten_dict(variables[coll], sep="/")
         src = traverse_util.flatten_dict(source_variables.get(coll, {}), sep="/")
-        n_merged = 0
         for k, v in src.items():
             if not _match(k, subtrees) and "*" not in subtrees:
                 continue
@@ -95,14 +95,13 @@ def load_subtrees(
                         f"shape mismatch for {coll}/{k}: "
                         f"{np.shape(dst[k])} vs {np.shape(v)}")
                 dst[k] = v
-                n_merged += 1
+                total_merged += 1
             elif strict and "*" not in subtrees:
                 raise KeyError(f"{coll}/{k} not present in target tree")
-        if strict and n_merged == 0 and subtrees and src:
-            # merging nothing is almost always a path typo
-            raise KeyError(f"no keys merged into collection '{coll}' "
-                           f"for subtrees {subtrees}")
         out[coll] = traverse_util.unflatten_dict(dst, sep="/")
+    if strict and total_merged == 0 and subtrees:
+        # merging nothing is almost always a path typo
+        raise KeyError(f"no keys merged for subtrees {subtrees}")
     return out
 
 
