@@ -59,9 +59,13 @@ class RenderConfig:
     camera_focal: float = 250
     k_size: int = 5
     # forge_tpu extension: renderer backend: 'xla' (gather-based reference),
-    # 'brick' (tiled one-hot-matmul fast path), 'pallas' (reserved; the
+    # 'packed' (corner-packed single-gather rows), 'pallas' (reserved; the
     # hosted TPU relay cannot compile Pallas kernels as of round 1)
     backend: str = "xla"
+    # forge_tpu extension: shard the ray grid over the mesh 'ray' axis
+    # (sequence parallelism for batch-starved rendering, e.g. batch-1
+    # test-time pose optimization across a v5e-8)
+    ray_parallel: bool = False
 
 
 @dataclass(frozen=True)

@@ -238,10 +238,18 @@ def run_optimization(
     use_sync: bool = False, iter_num: int = 1000,
     max_instances: Optional[int] = None,
     visualize: bool = False,
+    variables_render: Optional[Dict] = None,
 ) -> str:
-    """Full eval loop writing results.txt (reference: kubric_eval.py:36-93)."""
+    """Full eval loop writing results.txt (reference: kubric_eval.py:36-93).
+
+    variables_render: optional second weight tree used for the fuse/render
+    (and refinement) graph while pose prediction uses `variables` — the
+    reference's --model_gt option, which renders with the undegenerated
+    GT-pose model's fusion (kubric_eval.py:46,606-621).
+    """
     from forge_tpu.eval.refine import make_refiner
 
+    vr = variables_render if variables_render is not None else variables
     os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
     outfile = os.path.join(output_dir, "results", "results.txt")
     posefile = os.path.join(output_dir, "results", f"poses_{exp_id}.npz")
@@ -264,14 +272,14 @@ def run_optimization(
 
         rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
         best, results = evaluate_all(
-            model, variables, sample, rd, cfg, renderer=renderer,
+            model, vr, sample, rd, cfg, renderer=renderer,
             lpips_fn=lpips_fn)
         before = results[best]
         entry = rd[best]
         pose = entry["poses_cam"].copy()
         camK5 = np.asarray(sample["K_cv2"])[:, :5]
         if visualize:
-            visualize_360(model, variables, entry, camK5, cfg, output_dir,
+            visualize_360(model, vr, entry, camK5, cfg, output_dir,
                           "before", batch_idx)
 
         if use_sync:
@@ -292,17 +300,17 @@ def run_optimization(
         target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
         camK = jnp.asarray(sample["K_cv2"][:, :5])
         refined, rmetrics = refiner(
-            variables, jnp.asarray(pose), jnp.asarray(entry["features_raw"]),
+            vr, jnp.asarray(pose), jnp.asarray(entry["features_raw"]),
             camK, target_imgs, target_masks,
         )
         refined = np.asarray(refined)
         entry_after = dict(entry)
         entry_after["poses_cam"] = refined
         after = evaluate_canonical(
-            model, variables, sample, entry_after, cfg,
+            model, vr, sample, entry_after, cfg,
             renderer=renderer, lpips_fn=lpips_fn)
         if visualize:
-            visualize_360(model, variables, entry_after, camK5, cfg,
+            visualize_360(model, vr, entry_after, camK5, cfg,
                           output_dir, "after", batch_idx)
 
         with open(outfile, "a+") as f:

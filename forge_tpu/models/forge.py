@@ -104,6 +104,7 @@ class FORGE(nn.Module):
             max_depth=r.max_depth,
             k_size=r.k_size,
             backend=r.backend,
+            ray_parallel=r.ray_parallel,
             name="render",
             **kw,
         )

@@ -38,6 +38,7 @@ class VolRender(nn.Module):
     max_depth: float = 2.0
     k_size: int = 5
     backend: str = "xla"
+    ray_parallel: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -96,6 +97,18 @@ class VolRender(nn.Module):
         raw = jax.checkpoint(_render)(
             feature_3d, density_3d, K, R, T
         )                                                       # [B,half,half,C+2]
+        if self.ray_parallel:
+            # sequence parallelism: image rows sharded over the 'ray' mesh
+            # axis (XLA replicates the volume and splits the march; the
+            # reference has no analogue — its only parallelism is DDP,
+            # SURVEY.md §2.3)
+            from jax.sharding import PartitionSpec as P
+
+            # constrain only the row axis: the batch axis keeps whatever
+            # ('data') sharding propagates from the inputs, and shapes with
+            # tiny batches (init traces at b=1) stay legal.
+            raw = jax.lax.with_sharding_constraint(
+                raw, P(None, "ray", None, None))
         C = feature_3d.shape[-1]
         feat_img = raw[..., :C]
         sil = raw[..., C : C + 1]

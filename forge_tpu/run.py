@@ -220,12 +220,20 @@ def cmd_eval(args) -> int:
         st = src["state"]
         variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
         logger.info(f"loaded checkpoint {args.checkpoint}")
+    variables_render = None
+    if args.render_checkpoint:
+        st = CKPT.load_checkpoint(args.render_checkpoint)["state"]
+        variables_render = {"params": st["params"],
+                            "batch_stats": st["batch_stats"]}
+        logger.info(f"rendering with {args.render_checkpoint} (--model_gt)")
 
     outfile = run_optimization(
         model, variables, loader, cfg, output_dir,
         split_num=args.split_num, exp_id=args.exp_id,
         use_sync=args.sync, iter_num=args.iter_num,
         max_instances=args.max_instances,
+        visualize=args.visualize,
+        variables_render=variables_render,
     )
     from forge_tpu.eval.readout import summarize
 
@@ -351,6 +359,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--exp-id", type=int, default=0)
     ep.add_argument("--iter-num", type=int, default=1000)
     ep.add_argument("--max-instances", type=int, default=None)
+    ep.add_argument("--visualize", action="store_true",
+                    help="write before/after 360-degree turntable GIFs")
+    ep.add_argument("--render-checkpoint", default="",
+                    help="second checkpoint whose fusion/render weights are "
+                         "used for rendering (reference --model_gt)")
     ep.set_defaults(fn=cmd_eval)
 
     dp = sub.add_parser("demo")
