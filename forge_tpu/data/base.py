@@ -23,13 +23,14 @@ from forge_tpu.data import pose_np
 
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
-# Axis conventions (reference: dataset/kubric.py:78-97)
-KUBRIC_TO_CV2 = np.array(
-    [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]], dtype=np.float32
-)
+# Axis conventions: single source of truth in geometry/frames.py
+# (reference: dataset/kubric.py:78-97)
+from forge_tpu.geometry.frames import KUBRIC_TO_CV2  # noqa: E402
 
 
 def canonical_cameras(camera_z: float):
+    """Host-side (numpy) canonical cameras; same math as
+    geometry.frames.canonical_pose_cv2/extrinsics_cv2."""
     extr = np.eye(4, dtype=np.float32)
     extr[2, 3] = camera_z
     pose = np.eye(4, dtype=np.float32)

@@ -78,18 +78,46 @@ class Loader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    q.put(collate([self.dataset[i] for i in b]))
-            finally:
-                q.put(stop)
+                    item = collate([self.dataset[i] for i in b])
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
+            except BaseException as e:  # surface dataset errors to the consumer
+                while not abandoned.is_set():
+                    try:
+                        q.put(e, timeout=0.5)
+                        return
+                    except queue.Full:
+                        continue
+            else:
+                while not abandoned.is_set():
+                    try:
+                        q.put(stop, timeout=0.5)
+                        return
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer abandoned the iterator (early break / GC): unblock and
+            # retire the worker instead of leaking it on a full queue
+            abandoned.set()

@@ -4,9 +4,9 @@ Functional parity with the reference VolRender (models/volume_render.py:11-103):
 rendering happens at half the image resolution with halved intrinsics, the
 16-channel feature image is decoded to RGB by a ConvTranspose/Conv stack
 (ReLU-ed), and silhouette/depth are upsampled bilinearly to full resolution.
-The ray-march itself is ops/ray_march.py (XLA) or ops/ray_march_pallas.py
-(fused TPU kernel); K-halving is functional here instead of the reference's
-in-place mutation (models/volume_render.py:50-51).
+The ray-march itself is ops/ray_march.py ('xla' reference path or the
+'packed' single-gather-per-sample backend); K-halving is functional here
+instead of the reference's in-place mutation (models/volume_render.py:50-51).
 """
 
 from __future__ import annotations

@@ -6,9 +6,11 @@ the documented depth patch; reference: models/volume_render.py:18-24,63 and
 README.md:26-33). Two backends:
 
   - `render_volume_xla`: straightforward XLA program (gather + lerp + cumprod).
-    Used as the correctness reference and the CPU/test path.
-  - `render_volume_pallas` (ops/ray_march_pallas.py): fused Pallas kernel that
-    never materializes the [B,H,W,n,3] sample-point tensor in HBM.
+    The correctness reference and CPU/test path.
+  - `render_volume_packed` (ops/ray_march_packed.py): corner-packed gather —
+    one gathered row per ray-sample instead of eight.
+  (A fused Pallas kernel is planned; the hosted TPU relay in this build
+  environment cannot compile Pallas kernels as of round 1.)
 
 Semantics replicated exactly:
   - rays through pixel centers at the render resolution, z-depth parameterized,
@@ -145,14 +147,11 @@ def render_volume(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )
-    if backend == "pallas":
-        from forge_tpu.ops.ray_march_pallas import render_volume_pallas
-
-        return render_volume_pallas(
+    if backend == "xla":
+        return render_volume_xla(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )
-    return render_volume_xla(
-        features, densities, K, R, t, image_size, n_pts_per_ray,
-        min_depth, max_depth, volume_size,
-    )
+    raise ValueError(
+        f"unknown renderer backend {backend!r}; available: 'xla', 'packed' "
+        "('pallas' is reserved until the TPU relay supports Mosaic kernels)")

@@ -136,12 +136,19 @@ def cmd_train(args) -> int:
     if cfg.train.resume:
         last = os.path.join(output_dir, "cpt_last")
         if os.path.exists(last):
-            restored = CKPT.load_checkpoint(last)
-            state = jax.tree.map(lambda a, b: b, state, restored["state"])
+            restored = CKPT.load_checkpoint(
+                last, template={"state": jax.device_get(state),
+                                "metadata": {"epoch": 0}})
+            state = restored["state"]
             start_epoch = int(restored.get("metadata", {}).get("epoch", 0)) + 1
             logger.info(f"resumed from {last} at epoch {start_epoch}")
 
-    mesh = make_mesh(cfg.train.num_devices or 0)
+    n_dev = cfg.train.num_devices or len(jax.devices())
+    ray = 2 if (cfg.render.ray_parallel and n_dev % 2 == 0 and n_dev > 1) else 1
+    if cfg.render.ray_parallel and ray == 1:
+        logger.info("render.ray_parallel requested but device count %d has no "
+                    "ray axis; running data-parallel only", n_dev)
+    mesh = make_mesh(n_dev, ray_parallel=ray)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, repl)
@@ -183,15 +190,18 @@ def cmd_train(args) -> int:
     best = CKPT.BestTracker(output_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    for epoch in range(start_epoch, cfg.train.end_epoch):
-        state, rng, avg = train_epoch(
-            cfg, loader, state, train_step, rng, epoch, mesh=mesh, logger=logger)
-        CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
-                             {"epoch": epoch, **avg})
-        if (epoch + 1) % max(1, args.val_every) == 0:
-            vvars = {"params": state.params, "batch_stats": state.batch_stats}
-            vm = validate(jax.device_get(vvars), val_loader, logger)
-            best.update(state, psnr=vm.get("psnr"), rot=vm.get("rot"))
+    with jax.set_mesh(mesh):
+        for epoch in range(start_epoch, cfg.train.end_epoch):
+            state, rng, avg = train_epoch(
+                cfg, loader, state, train_step, rng, epoch, mesh=mesh,
+                logger=logger)
+            CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
+                                 {"epoch": epoch, **avg})
+            if (epoch + 1) % max(1, args.val_every) == 0:
+                vvars = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+                vm = validate(jax.device_get(vvars), val_loader, logger)
+                best.update(state, psnr=vm.get("psnr"), rot=vm.get("rot"))
     logger.info("training done")
     return 0
 
@@ -251,7 +261,7 @@ def cmd_demo(args) -> int:
     import jax.numpy as jnp
 
     from forge_tpu.config import update_config
-    from forge_tpu.models import FORGE, TrainFlags
+    from forge_tpu.models import FORGE, TrainFlags, build_model
     from forge_tpu.eval.refine import make_refiner
     from forge_tpu.geometry.cameras import look_at_view_transform_cv2
     from forge_tpu.utils import checkpoint as CKPT

@@ -80,8 +80,15 @@ def lr_schedule(cfg: Config) -> optax.Schedule:
     else:
         sched = optax.constant_schedule(base)
     if cfg.dataset.name == "omniobject3d":
-        warmup = optax.linear_schedule(0.0, base, 500)
-        sched = optax.join_schedules([warmup, sched], [500])
+        # NOTE: not optax.join_schedules — it would evaluate the milestone
+        # schedule at (count - 500), firing every decay 500 steps late.
+        inner = sched
+
+        def sched(count):
+            import jax.numpy as jnp
+
+            warm = base * jnp.minimum(count, 500) / 500.0
+            return jnp.where(count < 500, warm, inner(count))
     return sched
 
 

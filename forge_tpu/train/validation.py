@@ -58,7 +58,12 @@ def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False,
         log = logger.info if logger else print
         buckets: Dict[str, Dict[str, list]] = {}
 
-        for sample in loader:
+        for batch_idx, sample in enumerate(loader):
+            # subsample the val set — kubric only, like the reference
+            # (kubric_validation.py:48 gates the stride on dataset name)
+            if (cfg.dataset.name == "kubric" and cfg.eval_vis_freq > 1
+                    and batch_idx % cfg.eval_vis_freq != 0):
+                continue
             arrays = {k: v for k, v in sample.items() if not isinstance(v, list)}
             clips = arrays["images"][:, :5]
             b = clips.shape[0]

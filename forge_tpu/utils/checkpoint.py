@@ -36,8 +36,15 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> N
     _checkpointer().save(path, tree, force=True)
 
 
-def load_checkpoint(path: str) -> Dict:
-    return _checkpointer().restore(os.path.abspath(path))
+def load_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
+    """Restore a checkpoint; pass `template` (matching pytree, e.g. a
+    TrainState inside {'state': ...}) to recover custom node types — orbax
+    restores plain dicts otherwise, which cannot be tree-mapped against
+    dataclass/namedtuple states."""
+    path = os.path.abspath(path)
+    if template is not None:
+        return _checkpointer().restore(path, item=template)
+    return _checkpointer().restore(path)
 
 
 def save_variables(path: str, variables: Dict, metadata: Optional[Dict] = None) -> None:

@@ -86,9 +86,10 @@ def vis_seq_sv_mv(vid_clips, vid_masks, recon_clips, recon_masks, iter_num,
             f"{iter_num}_mv", output_dir, subfolder)
 
 
-def vis_nvs(imgs, masks, img_name, output_dir, subfolder="vis_360",
-            depths=None, fps: int = 10):
-    """Turntable GIF (reference: utils/vis_utils.py:292-313)."""
+def vis_nvs(imgs, img_name, output_dir, subfolder="vis_360",
+            masks=None, depths=None, fps: int = 10):
+    """Turntable GIF (reference: utils/vis_utils.py:292-313); masks/depths
+    accepted for signature parity but only the rgb frames are written."""
     import imageio
 
     imgs = np.clip(_to_np(imgs), 0, 1)

@@ -99,3 +99,28 @@ def test_best_tracker(tmp_path):
     assert not w2
     w3 = tr.update(state, psnr=21.0, rot=9.0)
     assert "psnr" in w3 and "rot" in w3
+
+
+def test_trainstate_restore_with_template(tmp_path):
+    """Resume path: orbax restore with a template must recover TrainState and
+    optax node types (plain restore loses them — run.py resume regression)."""
+    import optax
+    from forge_tpu.train.state import TrainState
+
+    params = {"w": jnp.ones((3, 2))}
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={"bn": jnp.zeros(2)},
+                       opt_state=tx.init(params))
+    path = str(tmp_path / "cpt_last")
+    CKPT.save_checkpoint(path, state, {"epoch": 3})
+
+    restored = CKPT.load_checkpoint(
+        path, template={"state": jax.device_get(state), "metadata": {"epoch": 0}})
+    rs = restored["state"]
+    assert isinstance(rs, TrainState)
+    assert int(restored["metadata"]["epoch"]) == 3
+    # restored state is usable by the optimizer
+    grads = {"w": jnp.ones((3, 2))}
+    updates, _ = tx.update(grads, rs.opt_state, rs.params)
+    optax.apply_updates(rs.params, updates)
