@@ -116,9 +116,15 @@ def cmd_train(args) -> int:
 
     variables = _init_variables(model, cfg, sample0, cfg.seed)
 
-    # checkpoint surgery (--load)
+    # checkpoint surgery (--load); accepts both variables-only checkpoints
+    # and full training checkpoints (cpt_last / cpt_best_*)
     for subtrees, drop, path in _parse_loads(args.load):
-        src = CKPT.load_variables(path)
+        raw = CKPT.load_checkpoint(path)
+        if "variables" in raw:
+            src = raw["variables"]
+        else:
+            st = raw["state"]
+            src = {"params": st["params"], "batch_stats": st["batch_stats"]}
         variables = CKPT.load_subtrees(variables, src, subtrees, drop)
         logger.info(f"loaded {subtrees} (drop {drop}) from {path}")
 
@@ -230,6 +236,14 @@ def cmd_eval(args) -> int:
         st = src["state"]
         variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
         logger.info(f"loaded checkpoint {args.checkpoint}")
+    lpips_fn = None
+    if args.lpips:
+        import jax.numpy as jnp
+        from forge_tpu.eval.lpips import init_lpips
+
+        lp, lvars = init_lpips(jax.random.PRNGKey(3), cfg.dataset.img_size)
+        lpips_fn = jax.jit(lambda a, b: lp.apply(lvars, a, b))
+        logger.info("LPIPS enabled (unit lin weights unless converted)")
     variables_render = None
     if args.render_checkpoint:
         st = CKPT.load_checkpoint(args.render_checkpoint)["state"]
@@ -239,6 +253,7 @@ def cmd_eval(args) -> int:
 
     outfile = run_optimization(
         model, variables, loader, cfg, output_dir,
+        lpips_fn=lpips_fn,
         split_num=args.split_num, exp_id=args.exp_id,
         use_sync=args.sync, iter_num=args.iter_num,
         max_instances=args.max_instances,
@@ -371,6 +386,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--max-instances", type=int, default=None)
     ep.add_argument("--visualize", action="store_true",
                     help="write before/after 360-degree turntable GIFs")
+    ep.add_argument("--lpips", action="store_true",
+                    help="compute the LPIPS metric (VGG features)")
     ep.add_argument("--render-checkpoint", default="",
                     help="second checkpoint whose fusion/render weights are "
                          "used for rendering (reference --model_gt)")
