@@ -147,11 +147,18 @@ def render_volume(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )
+    if backend == "pallas":
+        from forge_tpu.ops.ray_march_pallas import render_volume_pallas
+
+        return render_volume_pallas(
+            features, densities, K, R, t, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size,
+        )
     if backend == "xla":
         return render_volume_xla(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )
     raise ValueError(
-        f"unknown renderer backend {backend!r}; available: 'xla', 'packed' "
-        "('pallas' is reserved until the TPU relay supports Mosaic kernels)")
+        f"unknown renderer backend {backend!r}; "
+        "available: 'xla', 'packed', 'pallas'")
