@@ -148,9 +148,9 @@ def render_volume(
             min_depth, max_depth, volume_size,
         )
     if backend == "pallas":
-        from forge_tpu.ops.ray_march_pallas import render_volume_pallas
+        from forge_tpu.ops.ray_march_pallas import render_volume_pallas_grad
 
-        return render_volume_pallas(
+        return render_volume_pallas_grad(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )

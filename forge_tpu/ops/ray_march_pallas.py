@@ -239,3 +239,50 @@ def render_volume_pallas(
         ),
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs, feat_vol, dens_vol)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def render_volume_pallas_grad(
+    features, densities, K, R, t,
+    image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+):
+    """Differentiable wrapper: Pallas forward, XLA-path backward.
+
+    The kernel is numerically equivalent to `render_volume_xla`, so the exact
+    VJP of the XLA formulation is the correct gradient; the backward
+    rematerializes it (pose optimization and training differentiate through
+    the renderer, kubric_eval.py:450-527).
+    """
+    return render_volume_pallas(
+        features, densities, K, R, t, image_size, n_pts_per_ray,
+        min_depth, max_depth, volume_size,
+    )
+
+
+def _rvp_fwd(features, densities, K, R, t,
+             image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
+    out = render_volume_pallas(
+        features, densities, K, R, t, image_size, n_pts_per_ray,
+        min_depth, max_depth, volume_size,
+    )
+    return out, (features, densities, K, R, t)
+
+
+def _rvp_bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+             res, g):
+    from forge_tpu.ops.ray_march import render_volume_xla
+
+    features, densities, K, R, t = res
+    _, vjp = jax.vjp(
+        lambda f, d, K_, R_, t_: render_volume_xla(
+            f, d, K_, R_, t_, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size,
+        ),
+        features, densities, K, R, t,
+    )
+    return vjp(g)
+
+
+render_volume_pallas_grad.defvjp(_rvp_fwd, _rvp_bwd)
