@@ -62,12 +62,19 @@ def render_volume_packed(
     min_depth: float,
     max_depth: float,
     volume_size: float,
+    table_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Same contract as render_volume_xla; one gather row per ray-sample."""
+    """Same contract as render_volume_xla; one gather row per ray-sample.
+
+    table_dtype: dtype of the packed corner table. The 8C=136-lane rows pad to
+    256 lanes in HBM, so f32 tables cost 2.7 GB for 10 cameras; bf16 halves
+    both the table and the gathered bytes at ~1e-3 value precision (sample
+    coordinates stay f32). Pass jnp.float32 for bit-parity with the XLA path.
+    """
     B, D, H, W, C0 = features.shape
     vol = jnp.concatenate([features, densities], axis=-1)  # [B,D,H,W,C]
     C = C0 + 1
-    packed = _expand_corners(vol)                          # [B,V,8C]
+    packed = _expand_corners(vol.astype(table_dtype))      # [B,V,8C]
 
     pts, z = sample_points_world(
         K, R, t, image_size, n_pts_per_ray, min_depth, max_depth
@@ -99,9 +106,6 @@ def render_volume_packed(
     ixc = jnp.clip(ix0, 0, W - 1)
     flat = (izc * H + iyc) * W + ixc                        # [B,N]
 
-    rows = jnp.take_along_axis(packed, flat[..., None], axis=1)  # [B,N,8C]
-    rows = rows.reshape(B, N, 8, C)
-
     # Slot s of the gathered row holds vol[base_clamped + s]. When the base
     # was clamped (sample near/over the boundary), the row's slots are not the
     # sample's corners — so weight each slot by the tent weight of its
@@ -120,12 +124,29 @@ def render_volume_packed(
     wz = slot_weights(iz0, izc, fz, D)
     wy = slot_weights(iy0, iyc, fy, H)
     wx = slot_weights(ix0, ixc, fx, W)
-
     w8 = (
         wz[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
     ).reshape(B, N, 8)
-    sampled = jnp.einsum("bns,bnsc->bnc", w8, rows.astype(w8.dtype))
-    sampled = sampled.reshape(B, image_size, image_size, n_pts_per_ray, C)
+
+    # Chunk the gather: its [B, chunk, 8C] output pads 8C -> 256 lanes, so a
+    # single full-size gather would materialize ~10 GB; lax.map bounds the
+    # transient to one chunk.
+    n_chunks = max(1, N // 65536)
+    while N % n_chunks:
+        n_chunks -= 1
+    chunk = N // n_chunks
+
+    def sample_chunk(args):
+        flat_c, w8_c = args                                  # [B,chunk],[B,chunk,8]
+        rows = jnp.take_along_axis(packed, flat_c[..., None], axis=1)
+        rows = rows.reshape(B, chunk, 8, C)
+        return jnp.einsum("bns,bnsc->bnc", w8_c, rows.astype(w8_c.dtype))
+
+    flat_chunks = flat.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    w8_chunks = w8.reshape(B, n_chunks, chunk, 8).transpose(1, 0, 2, 3)
+    sampled = jax.lax.map(sample_chunk, (flat_chunks, w8_chunks))
+    sampled = sampled.transpose(1, 0, 2, 3).reshape(
+        B, image_size, image_size, n_pts_per_ray, C)
 
     feat_s = sampled[..., :C0]
     dens_s = sampled[..., C0]

@@ -31,7 +31,9 @@ def test_packed_gradients_match_xla():
 
     g_ref = jax.grad(lambda f, d, tt: loss(render_volume_xla, f, d, tt),
                      argnums=(0, 1, 2))(feats, dens, t)
-    g_new = jax.grad(lambda f, d, tt: loss(render_volume_packed, f, d, tt),
+    import functools
+    packed_f32 = functools.partial(render_volume_packed, table_dtype=jnp.float32)
+    g_new = jax.grad(lambda f, d, tt: loss(packed_f32, f, d, tt),
                      argnums=(0, 1, 2))(feats, dens, t)
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -139,5 +139,8 @@ def test_packed_backend_matches_xla():
     kw = dict(image_size=img, n_pts_per_ray=24, min_depth=0.5,
               max_depth=2.0, volume_size=1.0)
     ref = np.asarray(render_volume_xla(*args, **kw))
-    out = np.asarray(render_volume_packed(*args, **kw))
+    out = np.asarray(render_volume_packed(*args, table_dtype=jnp.float32, **kw))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+    # default bf16 table: bounded value divergence
+    outb = np.asarray(render_volume_packed(*args, **kw))
+    assert np.abs(outb - ref).max() < 0.02
