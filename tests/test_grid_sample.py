@@ -81,3 +81,34 @@ def test_grid_sample_gradients_match_torch():
     dvol, dgrid = jax.grad(f, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(grid))
     np.testing.assert_allclose(np.asarray(dvol), dvol_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dgrid), dgrid_ref, atol=1e-4)
+
+
+def test_packed_grid_sample_parity():
+    """grid_sample_3d_packed == grid_sample_3d (values and gradients)."""
+    import jax
+    from forge_tpu.ops.grid_sample_packed import grid_sample_3d_packed
+
+    rng = np.random.RandomState(4)
+    B, D, H, W, C = 2, 6, 5, 7, 3
+    vol = rng.randn(B, D, H, W, C).astype(np.float32)
+    grid = (rng.rand(B, 4, 3, 2, 3).astype(np.float32) * 3.0) - 1.5
+
+    for ac in (False, True):
+        ref = grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
+                             align_corners=ac)
+        out = grid_sample_3d_packed(jnp.asarray(vol), jnp.asarray(grid),
+                                    align_corners=ac)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def f_ref(v, g):
+        return grid_sample_3d(v, g, align_corners=False).sum()
+
+    def f_new(v, g):
+        return grid_sample_3d_packed(v, g, align_corners=False).sum()
+
+    gr = jax.grad(f_ref, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(grid))
+    gn = jax.grad(f_new, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(grid))
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
