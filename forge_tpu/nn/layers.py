@@ -159,7 +159,15 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
-            mean, var = ra_mean.value, ra_var.value
+            # eval mode: fold stats into one fused multiply-add in the
+            # compute dtype — avoids materializing f32 copies of every
+            # activation (BN is on almost every layer; this halves the
+            # activation bandwidth of frozen submodules in bf16 runs)
+            dtype = self.dtype or x.dtype
+            inv = (jax.lax.rsqrt(ra_var.value + self.epsilon)
+                   * scale.astype(jnp.float32))
+            shift = bias.astype(jnp.float32) - ra_mean.value * inv
+            return (x * inv.astype(dtype) + shift.astype(dtype)).astype(dtype)
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
