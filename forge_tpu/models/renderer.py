@@ -39,6 +39,7 @@ class VolRender(nn.Module):
     k_size: int = 5
     backend: str = "xla"
     ray_parallel: bool = False
+    render_chunk: int = 5   # cameras per lax.map chunk (0 = render all at once)
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -94,9 +95,28 @@ class VolRender(nn.Module):
                 backend=self.backend,
             )
 
-        raw = jax.checkpoint(_render)(
-            feature_3d, density_3d, K, R, T
-        )                                                       # [B,half,half,C+2]
+        # Chunk cameras through lax.map: the render backward materializes an
+        # f32 gradient of the packed corner table per chunk (~5.4 GB for 20
+        # cameras unchunked — the joint train step OOMs without this); map's
+        # backward accumulates volume gradients across chunks.
+        B = feature_3d.shape[0]
+        ck = self.render_chunk
+        if ck and B > ck and B % ck == 0:
+            def _chunk(args):
+                return jax.checkpoint(_render)(*args)
+
+            n = B // ck
+            split = lambda x: x.reshape((n, ck) + x.shape[1:])
+            raw = jax.lax.map(
+                _chunk,
+                (split(feature_3d), split(density_3d), split(K), split(R),
+                 split(T)),
+            )
+            raw = raw.reshape((B,) + raw.shape[2:])
+        else:
+            raw = jax.checkpoint(_render)(
+                feature_3d, density_3d, K, R, T
+            )                                                   # [B,half,half,C+2]
         if self.ray_parallel:
             # sequence parallelism: image rows sharded over the 'ray' mesh
             # axis (XLA replicates the volume and splits the march; the
