@@ -169,10 +169,12 @@ class TorchBatchNorm(nn.Module):
             shift = bias.astype(jnp.float32) - ra_mean.value * inv
             return (x * inv.astype(dtype) + shift.astype(dtype)).astype(dtype)
 
+        # normalize in the compute dtype (statistics above are f32); avoids
+        # f32 activation copies in bf16 training
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
-        return y.astype(dtype)
+        shift = bias.astype(jnp.float32) - mean * inv
+        return (x * inv.astype(dtype) + shift.astype(dtype)).astype(dtype)
 
 
 def torch_max_pool(

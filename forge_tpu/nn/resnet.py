@@ -76,6 +76,7 @@ class ResNet50Features(nn.Module):
 
     stride_surgery: bool = False
     leaky: bool = False  # LeakyReLU variant for the FPN backbone
+    remat: bool = True   # rematerialize each bottleneck in the backward
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -93,12 +94,15 @@ class ResNet50Features(nn.Module):
         x = act(x)
         x = torch_max_pool(x, 3, 2, 1)
 
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
         stages = []
         for li, (planes, blocks, stride) in enumerate(self.STAGES):
             surgered = self.stride_surgery and li >= 2  # layer3, layer4
             for bi in range(blocks):
                 first = bi == 0
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
                     has_downsample=first,
