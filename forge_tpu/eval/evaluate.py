@@ -253,7 +253,11 @@ def run_optimization(
     os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
     outfile = os.path.join(output_dir, "results", "results.txt")
     posefile = os.path.join(output_dir, "results", f"poses_{exp_id}.npz")
-    refiner = refiner or jax.jit(make_refiner(model, cfg, iter_num))
+    # chunk the optimization into bounded device programs (the hosted TPU
+    # relay kills programs running longer than ~20 s; ~480 ms/iter measured)
+    refine_chunk = min(iter_num, 20)
+    n_refine_chunks = max(1, -(-iter_num // refine_chunk))
+    refiner = refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
     renderer = make_eval_renderer(model)
     encode = jax.jit(
         lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
@@ -299,11 +303,15 @@ def run_optimization(
         target_imgs = jnp.asarray(clips[:, perm])
         target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
         camK = jnp.asarray(sample["K_cv2"][:, :5])
-        refined, rmetrics = refiner(
-            vr, jnp.asarray(pose), jnp.asarray(entry["features_raw"]),
-            camK, target_imgs, target_masks,
-        )
-        refined = np.asarray(refined)
+        cur = jnp.asarray(pose)
+        opt_state = None
+        for _ in range(n_refine_chunks):
+            out = refiner(
+                vr, cur, jnp.asarray(entry["features_raw"]),
+                camK, target_imgs, target_masks, opt_state,
+            )
+            cur, rmetrics, opt_state = out
+        refined = np.asarray(cur)
         entry_after = dict(entry)
         entry_after["poses_cam"] = refined
         after = evaluate_canonical(

@@ -61,9 +61,17 @@ def make_refiner(
         {"rot": "rot", "trans": "trans"},
     )
 
-    def refine(variables, pose_vec, features_raw, camK, target_imgs, target_masks):
+    def refine(variables, pose_vec, features_raw, camK, target_imgs,
+               target_masks, opt_state=None):
+        """One jitted chunk of `iter_num` optimization steps.
+
+        Pass the returned opt_state back in to continue (run_optimization
+        chains chunks: the hosted TPU relay kills device programs running
+        longer than ~20 s, and Adam state must persist across chunks).
+        """
         params_rt = {"rot": pose_vec[..., :4], "trans": pose_vec[..., 4:]}
-        opt_state = tx.init(params_rt)
+        if opt_state is None:
+            opt_state = tx.init(params_rt)
 
         def step(carry, _):
             params_rt, opt_state = carry
@@ -74,12 +82,13 @@ def make_refiner(
             params_rt = optax.apply_updates(params_rt, updates)
             return (params_rt, opt_state), loss
 
-        (params_rt, _), losses = jax.lax.scan(
+        (params_rt, opt_state), losses = jax.lax.scan(
             step, (params_rt, opt_state), None, length=iter_num
         )
         quat = params_rt["rot"]
         quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
         refined = jnp.concatenate([quat, params_rt["trans"]], axis=-1)
-        return refined, {"loss_first": losses[0], "loss_last": losses[-1]}
+        return (refined, {"loss_first": losses[0], "loss_last": losses[-1]},
+                opt_state)
 
     return refine

@@ -325,9 +325,15 @@ def cmd_demo(args) -> int:
         lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses))
     features_raw, poses_cam, _ = encode(variables, jnp.asarray(clips))
 
-    refiner = jax.jit(make_refiner(model, cfg, args.iter_num))
-    refined, _ = refiner(variables, poses_cam, features_raw,
-                         jnp.asarray(K), jnp.asarray(clips), jnp.asarray(masks))
+    # chunked device programs (the hosted relay kills >~20 s executions)
+    chunk = min(args.iter_num, 20)
+    refiner = jax.jit(make_refiner(model, cfg, chunk))
+    refined = poses_cam
+    opt_state = None
+    for _ in range(max(1, -(-args.iter_num // chunk))):
+        refined, _, opt_state = refiner(
+            variables, refined, features_raw,
+            jnp.asarray(K), jnp.asarray(clips), jnp.asarray(masks), opt_state)
 
     # 360-degree turntable (reference: kubric_eval.py:190-232, 28 views)
     n_views = 28

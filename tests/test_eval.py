@@ -154,7 +154,7 @@ def test_refine_and_harness_end_to_end(tmp_path):
     sample = {k: v for k, v in sample0.items() if not isinstance(v, list)}
     rd = predict_initial(model, variables, sample, cfg)
     entry = rd["0"]
-    refined, rm = refiner(
+    refined, rm, opt_state = refiner(
         variables,
         jnp.asarray(entry["poses_cam"]),
         jnp.asarray(entry["features_raw"]),
@@ -163,3 +163,13 @@ def test_refine_and_harness_end_to_end(tmp_path):
         jnp.asarray(sample["fg_probabilities"][:, :5]),
     )
     assert np.isfinite(float(rm["loss_last"]))
+    # chained chunk continues from carried optimizer state
+    refined2, rm2, _ = refiner(
+        variables, refined,
+        jnp.asarray(entry["features_raw"]),
+        jnp.asarray(sample["K_cv2"][:, :5]),
+        jnp.asarray(sample["images"][:, :5]),
+        jnp.asarray(sample["fg_probabilities"][:, :5]),
+        opt_state,
+    )
+    assert np.isfinite(float(rm2["loss_last"]))
