@@ -46,7 +46,8 @@ def _measure(backend: str, n_iter: int = 5):
 
 
 def main():
-    backends = os.environ.get("FORGE_BENCH_BACKENDS", "xla,packed").split(",")
+    backends = os.environ.get(
+        "FORGE_BENCH_BACKENDS", "packed,pallas").split(",")
     results = {}
     for b in backends:
         try:

@@ -239,6 +239,7 @@ def run_optimization(
     max_instances: Optional[int] = None,
     visualize: bool = False,
     variables_render: Optional[Dict] = None,
+    instance_retries: int = 2,
 ) -> str:
     """Full eval loop writing results.txt (reference: kubric_eval.py:36-93).
 
@@ -246,6 +247,13 @@ def run_optimization(
     (and refinement) graph while pose prediction uses `variables` — the
     reference's --model_gt option, which renders with the undegenerated
     GT-pose model's fusion (kubric_eval.py:46,606-621).
+
+    instance_retries: on a per-instance device failure (the hosted TPU worker
+    has been observed to crash/restart under sustained eval load), the
+    instance is retried up to this many times after re-uploading the weight
+    trees from host copies and rebuilding the jitted closures; an instance
+    that still fails is skipped with a log line rather than aborting the
+    whole eval shard.
     """
     from forge_tpu.eval.refine import make_refiner
 
@@ -253,10 +261,16 @@ def run_optimization(
     os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
     outfile = os.path.join(output_dir, "results", "results.txt")
     posefile = os.path.join(output_dir, "results", f"poses_{exp_id}.npz")
+    # host-side copies so weights can be re-uploaded after a worker restart
+    # (device buffers and compiled executables die with the worker)
+    host_vars = jax.tree.map(np.asarray, variables) if instance_retries else None
+    host_vr = (jax.tree.map(np.asarray, variables_render)
+               if instance_retries and variables_render is not None else None)
     # chunk the optimization into bounded device programs (the hosted TPU
     # relay kills programs running longer than ~20 s; ~480 ms/iter measured)
     refine_chunk = min(iter_num, 20)
     n_refine_chunks = max(1, -(-iter_num // refine_chunk))
+    user_refiner = refiner
     refiner = refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
     renderer = make_eval_renderer(model)
     encode = jax.jit(
@@ -264,6 +278,20 @@ def run_optimization(
     )
     pose_log = {}
     done = 0
+
+    def recover():
+        """Re-upload weights and rebuild jitted closures after a device
+        failure (round-1 note: TPU worker crashes under sustained eval load,
+        OPTIMIZATION.md)."""
+        nonlocal variables, vr, refiner, renderer, encode
+        jax.clear_caches()
+        variables = jax.device_put(host_vars)
+        vr = (jax.device_put(host_vr) if host_vr is not None else variables)
+        refiner = user_refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
+        renderer = make_eval_renderer(model)
+        encode = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
+        )
 
     for batch_idx, sample in enumerate(loader):
         if batch_idx % split_num != exp_id:
@@ -274,67 +302,94 @@ def run_optimization(
         seen = (float(np.asarray(sample["seen_flag"]).ravel()[0]) > 0
                 if "seen_flag" in sample else True)
 
-        rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
-        best, results = evaluate_all(
-            model, vr, sample, rd, cfg, renderer=renderer,
-            lpips_fn=lpips_fn)
-        before = results[best]
-        entry = rd[best]
-        pose = entry["poses_cam"].copy()
-        camK5 = np.asarray(sample["K_cv2"])[:, :5]
-        if visualize:
-            visualize_360(model, vr, entry, camK5, cfg, output_dir,
-                          "before", batch_idx)
-
-        if use_sync:
+        for attempt in range(instance_retries + 1):
             try:
-                pose_sync = sync_pose(rd, best, cfg)
-                gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4)[1:]
-                gt_q = np.asarray(mat2quat(jnp.asarray(gt)))
-                rot_sync, _ = M.pose_errors_capped(pose_sync, gt_q)
-                if rot_sync < before["rot_error"]:
-                    pose = pose_sync
-            except Exception as e:  # reference: try/except fallback (:72-78)
-                print(f"{batch_idx} fail to sync poses: {e}")
-
-        # refinement (jitted scan)
-        clips = np.asarray(sample["images"][:, :5])
-        perm = entry["permutation"]
-        target_imgs = jnp.asarray(clips[:, perm])
-        target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
-        camK = jnp.asarray(sample["K_cv2"][:, :5])
-        cur = jnp.asarray(pose)
-        opt_state = None
-        for _ in range(n_refine_chunks):
-            out = refiner(
-                vr, cur, jnp.asarray(entry["features_raw"]),
-                camK, target_imgs, target_masks, opt_state,
-            )
-            cur, rmetrics, opt_state = out
-        refined = np.asarray(cur)
-        entry_after = dict(entry)
-        entry_after["poses_cam"] = refined
-        after = evaluate_canonical(
-            model, vr, sample, entry_after, cfg,
-            renderer=renderer, lpips_fn=lpips_fn)
-        if visualize:
-            visualize_360(model, vr, entry_after, camK5, cfg,
-                          output_dir, "after", batch_idx)
-
-        with open(outfile, "a+") as f:
-            for name, r in (("before", before), ("after", after)):
-                f.write(
-                    "idx {}, seen {}, {}, psnr {}, ssim {}, lpips {}, rot {}, "
-                    "trans {}, depth {}\n".format(
-                        batch_idx, seen, name, r["psnr"], r["ssim"],
-                        r["lpips"], r["rot_error"], r["trans_error"],
-                        r["depth_error"])
-                )
-        pose_log[batch_idx] = {
-            "before": entry["poses_cam"], "after": refined,
-            "gt": np.asarray(entry["gt_poses"]),
-        }
-        np.savez(posefile, **{str(k): v for k, v in
-                              ((f"{i}_{n}", pose_log[i][n])
-                               for i in pose_log for n in pose_log[i])})
+                _run_instance(
+                    model, variables, vr, sample, cfg, batch_idx, seen,
+                    encode, renderer, refiner, n_refine_chunks, lpips_fn,
+                    use_sync, visualize, output_dir, outfile, pose_log)
+                break
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:
+                if attempt >= instance_retries:
+                    print(f"{batch_idx} skipped after "
+                          f"{instance_retries + 1} attempts: {e}")
+                else:
+                    print(f"{batch_idx} attempt {attempt + 1} failed "
+                          f"({e}); re-uploading weights and retrying")
+                    recover()
+        np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
+                              for i in pose_log for n in pose_log[i]})
     return outfile
+
+
+def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
+                  encode, renderer, refiner, n_refine_chunks, lpips_fn,
+                  use_sync, visualize, output_dir, outfile, pose_log):
+    """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
+
+    Split out of run_optimization so a device failure anywhere in the
+    instance can be retried as a unit (all device state it needs is
+    re-derivable from the host-side `sample`).
+    """
+    rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
+    best, results = evaluate_all(
+        model, vr, sample, rd, cfg, renderer=renderer,
+        lpips_fn=lpips_fn)
+    before = results[best]
+    entry = rd[best]
+    pose = entry["poses_cam"].copy()
+    camK5 = np.asarray(sample["K_cv2"])[:, :5]
+    if visualize:
+        visualize_360(model, vr, entry, camK5, cfg, output_dir,
+                      "before", batch_idx)
+
+    if use_sync:
+        try:
+            pose_sync = sync_pose(rd, best, cfg)
+            gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4)[1:]
+            gt_q = np.asarray(mat2quat(jnp.asarray(gt)))
+            rot_sync, _ = M.pose_errors_capped(pose_sync, gt_q)
+            if rot_sync < before["rot_error"]:
+                pose = pose_sync
+        except Exception as e:  # reference: try/except fallback (:72-78)
+            print(f"{batch_idx} fail to sync poses: {e}")
+
+    # refinement (jitted scan)
+    clips = np.asarray(sample["images"][:, :5])
+    perm = entry["permutation"]
+    target_imgs = jnp.asarray(clips[:, perm])
+    target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
+    camK = jnp.asarray(sample["K_cv2"][:, :5])
+    cur = jnp.asarray(pose)
+    opt_state = None
+    for _ in range(n_refine_chunks):
+        out = refiner(
+            vr, cur, jnp.asarray(entry["features_raw"]),
+            camK, target_imgs, target_masks, opt_state,
+        )
+        cur, rmetrics, opt_state = out
+    refined = np.asarray(cur)
+    entry_after = dict(entry)
+    entry_after["poses_cam"] = refined
+    after = evaluate_canonical(
+        model, vr, sample, entry_after, cfg,
+        renderer=renderer, lpips_fn=lpips_fn)
+    if visualize:
+        visualize_360(model, vr, entry_after, camK5, cfg,
+                      output_dir, "after", batch_idx)
+
+    with open(outfile, "a+") as f:
+        for name, r in (("before", before), ("after", after)):
+            f.write(
+                "idx {}, seen {}, {}, psnr {}, ssim {}, lpips {}, rot {}, "
+                "trans {}, depth {}\n".format(
+                    batch_idx, seen, name, r["psnr"], r["ssim"],
+                    r["lpips"], r["rot_error"], r["trans_error"],
+                    r["depth_error"])
+            )
+    pose_log[batch_idx] = {
+        "before": entry["poses_cam"], "after": refined,
+        "gt": np.asarray(entry["gt_poses"]),
+    }
