@@ -63,6 +63,7 @@ def _ray_march_kernel(
     cmax: float,
     D: int,
     C: int,
+    mm_dtype=jnp.float32,
 ):
     R = TILE * TILE
     dirs = dirs_ref[0].reshape(R, 128)
@@ -132,23 +133,24 @@ def _ray_march_kernel(
         wx = tent(ix, xbase, iota_x)                       # [R, BX]
         wx_full = tent(ix, jnp.zeros((), jnp.int32), iota_w)  # [R, D]
 
+        # MXU contractions run in mm_dtype (bf16 in production: ~4x the f32
+        # MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8 relative,
+        # the same class as the bf16 volume quantization). f32 accumulate.
+        mm = lambda a, b: jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
+                                  preferred_element_type=jnp.float32)
         ohzy = (
-            jnp.dot(wz, expand_z, preferred_element_type=jnp.float32)
-            * jnp.dot(wy, expand_y, preferred_element_type=jnp.float32)
+            mm(wz, expand_z) * mm(wy, expand_y)
         )                                                  # [R, BZ*BH]
 
         xoff = pl.multiple_of(xbase * C, 128)  # xbase % 8 == 0, C*8 % 128 == 0
         fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           pl.ds(xoff, BX * C)]             # [BZ, BH, BX*C]
-        m1 = jnp.dot(ohzy, fbrick.reshape(BZ * BH, BX * C).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)   # [R, BX*C]
-        wx_rep = jnp.dot(wx, expand_x, preferred_element_type=jnp.float32)
-        feat = jnp.dot(m1 * wx_rep, sel,
-                       preferred_element_type=jnp.float32)  # [R, C]
+        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [R, BX*C]
+        wx_rep = mm(wx, expand_x)
+        feat = mm(m1 * wx_rep, sel)                        # [R, C]
 
         dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]  # [BZ,BH,D]
-        d1 = jnp.dot(ohzy, dbrick.reshape(BZ * BH, D).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)   # [R, D]
+        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [R, D]
         dens = jnp.sum(d1 * wx_full, axis=1)               # [R]
 
         w = dens * transmittance
@@ -214,6 +216,7 @@ def render_volume_pallas(
         cmax=float(cmax),
         D=D,
         C=C0,
+        mm_dtype=vol_dtype,
     )
     return pl.pallas_call(
         kernel,
