@@ -164,6 +164,7 @@ def main():
         "nofeat": dict(do_feat=False),
         "nodens": dict(do_dens=False),
         "fixslice": dict(fixslice=True),
+        "noloop": dict(),  # npts=8 special case below
     }
     which = sys.argv[1:] or list(variants)
     for name in which:

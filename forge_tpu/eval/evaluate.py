@@ -18,6 +18,7 @@ like the reference's 8-process eval scripts (kubric_eval.py:56-57).
 from __future__ import annotations
 
 import os
+import time
 from itertools import combinations
 from typing import Callable, Dict, Optional
 
@@ -234,6 +235,8 @@ def run_optimization(
     model: FORGE, variables, loader, cfg: Config, output_dir: str,
     refiner: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
+    lpips_builder: Optional[Callable[[], Callable]] = None,
+    lpips_label: str = "lpips",
     split_num: int = 1, exp_id: int = 0,
     use_sync: bool = False, iter_num: int = 1000,
     max_instances: Optional[int] = None,
@@ -254,6 +257,13 @@ def run_optimization(
     trees from host copies and rebuilding the jitted closures; an instance
     that still fails is skipped with a log line rather than aborting the
     whole eval shard.
+
+    lpips_builder: factory returning a fresh jitted LPIPS closure; used
+    instead of (or to rebuild) `lpips_fn` after a worker restart — a jitted
+    closure capturing LPIPS weights as device arrays dies with the worker.
+    lpips_label: column name written to results.txt; pass "lpips_unit" when
+    the metric runs with unit lin weights so readout never mistakes it for
+    comparable LPIPS.
     """
     from forge_tpu.eval.refine import make_refiner
 
@@ -276,22 +286,40 @@ def run_optimization(
     encode = jax.jit(
         lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
     )
+    if lpips_builder is not None:
+        lpips_fn = lpips_builder()
     pose_log = {}
     done = 0
 
-    def recover():
+    def recover() -> bool:
         """Re-upload weights and rebuild jitted closures after a device
         failure (round-1 note: TPU worker crashes under sustained eval load,
-        OPTIMIZATION.md)."""
-        nonlocal variables, vr, refiner, renderer, encode
-        jax.clear_caches()
-        variables = jax.device_put(host_vars)
-        vr = (jax.device_put(host_vr) if host_vr is not None else variables)
-        refiner = user_refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
-        renderer = make_eval_renderer(model)
-        encode = jax.jit(
-            lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses)
-        )
+        OPTIMIZATION.md). The worker self-restarts in ~minutes, so retry the
+        re-upload with backoff instead of letting a device_put against a
+        still-dead worker abort the whole eval shard."""
+        nonlocal variables, vr, refiner, renderer, encode, lpips_fn
+        for wait in (5, 15, 30, 60, 120, 180):
+            try:
+                jax.clear_caches()
+                variables = jax.device_put(host_vars)
+                vr = (jax.device_put(host_vr) if host_vr is not None
+                      else variables)
+                refiner = user_refiner or jax.jit(
+                    make_refiner(model, cfg, refine_chunk))
+                renderer = make_eval_renderer(model)
+                encode = jax.jit(
+                    lambda v, x: model.apply(
+                        v, x, method=model.encode_and_predict_poses)
+                )
+                if lpips_builder is not None:
+                    lpips_fn = lpips_builder()
+                return True
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:
+                print(f"recover failed ({e}); retrying in {wait}s")
+                time.sleep(wait)
+        return False
 
     for batch_idx, sample in enumerate(loader):
         if batch_idx % split_num != exp_id:
@@ -307,7 +335,8 @@ def run_optimization(
                 _run_instance(
                     model, variables, vr, sample, cfg, batch_idx, seen,
                     encode, renderer, refiner, n_refine_chunks, lpips_fn,
-                    use_sync, visualize, output_dir, outfile, pose_log)
+                    use_sync, visualize, output_dir, outfile, pose_log,
+                    lpips_label=lpips_label)
                 break
             except (KeyboardInterrupt, SystemExit):
                 raise
@@ -318,7 +347,9 @@ def run_optimization(
                 else:
                     print(f"{batch_idx} attempt {attempt + 1} failed "
                           f"({e}); re-uploading weights and retrying")
-                    recover()
+                    if not recover():
+                        print(f"{batch_idx} skipped: device recovery failed")
+                        break
         np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
                               for i in pose_log for n in pose_log[i]})
     return outfile
@@ -326,7 +357,8 @@ def run_optimization(
 
 def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
                   encode, renderer, refiner, n_refine_chunks, lpips_fn,
-                  use_sync, visualize, output_dir, outfile, pose_log):
+                  use_sync, visualize, output_dir, outfile, pose_log,
+                  lpips_label: str = "lpips"):
     """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
 
     Split out of run_optimization so a device failure anywhere in the
@@ -383,11 +415,11 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     with open(outfile, "a+") as f:
         for name, r in (("before", before), ("after", after)):
             f.write(
-                "idx {}, seen {}, {}, psnr {}, ssim {}, lpips {}, rot {}, "
+                "idx {}, seen {}, {}, psnr {}, ssim {}, {} {}, rot {}, "
                 "trans {}, depth {}\n".format(
                     batch_idx, seen, name, r["psnr"], r["ssim"],
-                    r["lpips"], r["rot_error"], r["trans_error"],
-                    r["depth_error"])
+                    lpips_label, r["lpips"], r["rot_error"],
+                    r["trans_error"], r["depth_error"])
             )
     pose_log[batch_idx] = {
         "before": entry["poses_cam"], "after": refined,

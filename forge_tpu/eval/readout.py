@@ -11,7 +11,10 @@ from typing import Dict, List
 
 import numpy as np
 
-_FIELDS = ("psnr", "ssim", "lpips", "rot", "trans", "depth")
+# "lpips_unit" is LPIPS run with unit lin weights (no learned checkpoint in
+# the image) — structurally the same metric but NOT comparable to published
+# LPIPS numbers; eval labels the column accordingly (evaluate.py lpips_label).
+_FIELDS = ("psnr", "ssim", "lpips", "lpips_unit", "rot", "trans", "depth")
 
 
 def parse_results(path: str) -> Dict[str, Dict[str, List[float]]]:

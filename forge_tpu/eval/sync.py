@@ -8,8 +8,11 @@ back to SO(3).
 
 Runs host-side in numpy float64: the matrices are 20x20 for 5 views, eval-only,
 and TPUs have no fast f64 — this is the correct placement (SURVEY.md §7.3).
-A float32 jax variant is provided for fully-jitted eval pipelines; it uses
-compensated renormalization and matches f64 to ~1e-4 on well-conditioned graphs.
+`camera_synchronization_jax` is the float32, jit-compatible variant for fully
+jitted eval pipelines; it rescales the matrix after every squaring (the scale
+cancels in the final per-block mass normalization) so float32 survives the
+2**squares power iteration, and matches the f64 path to ~1e-4 on
+well-conditioned graphs (tested in tests/test_eval.py).
 """
 
 from __future__ import annotations
@@ -107,6 +110,89 @@ def camera_synchronization(
             [np.concatenate([R, L[:, :, :3, 3:]], axis=3), L[:, :, 3:]], axis=2
         )
     return L.astype(np.float32)
+
+
+def camera_synchronization_jax(
+    Ps: Dict[Tuple[int, int], "object"],
+    confidence: Dict[Tuple[int, int], "object"],
+    N: int,
+    squares: int = 10,
+    so3_projection: bool = True,
+    normalize_confidences: bool = True,
+    center_first_camera: bool = False,
+):
+    """Float32, jit-compatible power-iteration sync (same math as
+    `camera_synchronization`).
+
+    Dict keys are static (trace-time python); values may be traced jnp arrays
+    [b, 4, 4] / [b]. Compensated renormalization: after each L @ L the matrix
+    is divided by its per-batch max-abs entry — an overall scalar that cancels
+    exactly in the final mass normalization but keeps float32 in range
+    through the 2**squares amplification (reference math:
+    utils/sync_utils.py:76-191, which runs float64 on CUDA).
+    """
+    import jax.numpy as jnp
+
+    if N == 2:
+        raise NotImplementedError("use camera_chaining for N == 2")
+
+    first = next(iter(Ps.values()))
+    batch = first.shape[0]
+    f32 = jnp.float32
+
+    conf = jnp.zeros((batch, N, N), f32)
+    for (i, j), c in confidence.items():
+        c = jnp.asarray(c, f32).reshape(batch)
+        conf = conf.at[:, i, j].add(c).at[:, j, i].add(c)
+        if normalize_confidences:
+            conf = conf.at[:, i, i].add(c / 2).at[:, j, j].add(c / 2)
+    if not normalize_confidences:
+        conf = conf.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)
+    else:
+        conf = conf / jnp.clip(conf.sum(axis=1, keepdims=True), 1e-9, None)
+
+    def inv(P):
+        Rt = jnp.swapaxes(P[:, :3, :3], -1, -2)
+        t = -(Rt @ P[:, :3, 3:4])
+        top = jnp.concatenate([Rt, t], axis=-1)
+        bot = jnp.broadcast_to(
+            jnp.asarray([[0.0, 0, 0, 1]], f32), (P.shape[0], 1, 4))
+        return jnp.concatenate([top, bot], axis=-2)
+
+    eye = jnp.eye(4, dtype=f32)
+    L = jnp.zeros((batch, N, 4, N, 4), f32)
+    for i in range(N):
+        L = L.at[:, i, :, i, :].set(conf[:, i, i, None, None] * eye)
+    for (i, j), P in Ps.items():
+        P = jnp.asarray(P, f32)
+        L = L.at[:, i, :, j, :].set(conf[:, i, j, None, None] * inv(P))
+        L = L.at[:, j, :, i, :].set(conf[:, j, i, None, None] * P)
+    L = L.reshape(batch, 4 * N, 4 * N)
+
+    for _ in range(squares):
+        L = L @ L
+        s = jnp.max(jnp.abs(L), axis=(-2, -1), keepdims=True)
+        L = L / jnp.maximum(s, 1e-30)
+
+    L = L.reshape(batch, N, 4, N, 4)
+    col = 0 if center_first_camera else N // 2
+    L = L[:, :, :, col, :]
+    mass = L[:, :, 3:, 3:]
+    L = L / jnp.clip(mass, 1e-9, None)
+
+    if so3_projection:
+        R_pre = L[:, :, :3, :3]
+        U, _, Vt = jnp.linalg.svd(R_pre)
+        det = jnp.linalg.det(U @ Vt)
+        S_ = jnp.concatenate(
+            [jnp.ones(det.shape + (1, 2), f32), det[..., None, None]], axis=-1
+        )
+        R = (U * S_) @ Vt
+        L = jnp.concatenate(
+            [jnp.concatenate([R, L[:, :, :3, 3:]], axis=3), L[:, :, 3:]],
+            axis=2,
+        )
+    return L
 
 
 def camera_synchronization_eig(

@@ -22,8 +22,11 @@ per forward). Structure:
 Semantics match ops/ray_march.py exactly (same sample positions, PyTorch3D
 align_corners lookup, zero padding, shifted-cumprod EA with the patched depth
 channel; reference: models/volume_render.py:18-24,63, README.md:26-33).
-Parity is tested in interpret mode; bf16 volumes cost ~1e-2 absolute on
-features (values only — sample COORDINATES stay f32).
+Parity is tested in interpret mode. In production (mm_dtype=bf16) BOTH the
+volumes and the tent interpolation weights (and the m1 intermediate) are
+bf16 on the MXU with f32 accumulation; sample COORDINATES stay f32. Measured
+error vs the f32 XLA path is ~3.3e-2 max-abs on random dense volumes — if the
+interpret parity test tolerance is tightened, grow the margin accordingly.
 
 Validated on a real v5e chip (round 2): exact-parity vs render_volume_xla up
 to bf16 volume quantization (3.3e-2 max abs on random dense volumes), and

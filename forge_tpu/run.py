@@ -236,14 +236,41 @@ def cmd_eval(args) -> int:
         st = src["state"]
         variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
         logger.info(f"loaded checkpoint {args.checkpoint}")
-    lpips_fn = None
+    lpips_builder = None
+    lpips_label = "lpips"
     if args.lpips:
-        import jax.numpy as jnp
         from forge_tpu.eval.lpips import init_lpips
 
         lp, lvars = init_lpips(jax.random.PRNGKey(3), cfg.dataset.img_size)
-        lpips_fn = jax.jit(lambda a, b: lp.apply(lvars, a, b))
-        logger.info("LPIPS enabled (unit lin weights unless converted)")
+        # host-side copy: the builder re-uploads weights so the jitted
+        # closure can be rebuilt after a TPU worker restart (evaluate.py
+        # recover()); device buffers captured in a closure die with the worker
+        host_params = jax.tree.map(np.asarray, lvars["params"])
+        have_lin = have_vgg = False
+        if args.lpips_checkpoint:
+            from forge_tpu.utils.convert_torch import convert_lpips_lin
+
+            lin = convert_lpips_lin(
+                dict(np.load(args.lpips_checkpoint, allow_pickle=True)))
+            host_params = {**host_params, **lin}
+            have_lin = True
+            logger.info(f"LPIPS lin weights from {args.lpips_checkpoint}")
+        if args.vgg_checkpoint:
+            from forge_tpu.utils.convert_torch import convert_lpips_vgg
+
+            vgg = convert_lpips_vgg(
+                dict(np.load(args.vgg_checkpoint, allow_pickle=True)))
+            host_params = {**host_params, **vgg}
+            have_vgg = True
+            logger.info(f"LPIPS vgg weights from {args.vgg_checkpoint}")
+        if not (have_lin and have_vgg):
+            # label the column so readout never mistakes it for real LPIPS
+            lpips_label = "lpips_unit"
+        logger.info(f"LPIPS enabled (column '{lpips_label}')")
+
+        def lpips_builder(lp=lp, host_params=host_params):
+            lv = jax.device_put({"params": host_params})
+            return jax.jit(lambda a, b: lp.apply(lv, a, b))
     variables_render = None
     if args.render_checkpoint:
         st = CKPT.load_checkpoint(args.render_checkpoint)["state"]
@@ -253,7 +280,7 @@ def cmd_eval(args) -> int:
 
     outfile = run_optimization(
         model, variables, loader, cfg, output_dir,
-        lpips_fn=lpips_fn,
+        lpips_builder=lpips_builder, lpips_label=lpips_label,
         split_num=args.split_num, exp_id=args.exp_id,
         use_sync=args.sync, iter_num=args.iter_num,
         max_instances=args.max_instances,
@@ -394,6 +421,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="write before/after 360-degree turntable GIFs")
     ep.add_argument("--lpips", action="store_true",
                     help="compute the LPIPS metric (VGG features)")
+    ep.add_argument("--lpips-checkpoint", default="",
+                    help=".npz of the lpips vgg.pth lin weights; without it "
+                         "the column is labeled lpips_unit")
+    ep.add_argument("--vgg-checkpoint", default="",
+                    help=".npz of torchvision vgg16 state dict for the LPIPS "
+                         "backbone")
     ep.add_argument("--render-checkpoint", default="",
                     help="second checkpoint whose fusion/render weights are "
                          "used for rendering (reference --model_gt)")

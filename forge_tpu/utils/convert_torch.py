@@ -119,6 +119,33 @@ def convert_vgg16_blocks(sd: Arrays, prefix: str = "features.") -> dict:
     return b.params
 
 
+# all 13 vgg16 'features' convs — LPIPS uses 5 blocks (eval/lpips.py)
+_VGG16_LPIPS_CONV_IDX = _VGG16_CONV_IDX + (24, 26, 28)
+
+
+def convert_lpips_vgg(sd: Arrays, prefix: str = "features.") -> dict:
+    """torchvision vgg16 state dict -> LPIPS backbone params (vgg_conv_*)."""
+    b = TreeBuilder()
+    for ci, li in enumerate(_VGG16_LPIPS_CONV_IDX):
+        b.conv(f"vgg_conv_{ci}", sd, f"{prefix}{li}", bias=True)
+    return b.params
+
+
+def convert_lpips_lin(sd: Arrays, prefix: str = "") -> dict:
+    """lpips 'vgg.pth' lin weights (lin{i}.model.1.weight [1,C,1,1]) ->
+    LPIPS lin_* params (reference metric: kubric_eval.py:16,623)."""
+    b = TreeBuilder()
+    for si in range(5):
+        for src in (f"{prefix}lin{si}.model.1",
+                    f"{prefix}lins.{si}.model.1"):
+            if f"{src}.weight" in sd:
+                b.conv(f"lin_{si}", sd, src, bias=False)
+                break
+        else:
+            raise KeyError(f"LPIPS lin weights for slice {si} not in dict")
+    return b.params
+
+
 def merge_into(variables: dict, params: dict, batch_stats: dict, path: str) -> dict:
     """Insert converted subtrees at `path` (slash-separated) of a variables dict.
 

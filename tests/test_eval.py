@@ -56,7 +56,7 @@ def _random_se3(rng, n):
 
 
 def test_camera_synchronization_recovers_consistent_graph():
-    """Exact pairwise extrinsим recover the GT up to the reference frame."""
+    """Exact pairwise extrinsics recover the GT up to the reference frame."""
     rng = np.random.RandomState(3)
     N = 5
     E = _random_se3(rng, N)          # extrinsics per view
@@ -97,6 +97,56 @@ def test_camera_synchronization_noise_robustness():
         R_err = out[0, i, :3, :3] @ E[i, :3, :3].T
         ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
         assert ang < 5.0, (i, ang)
+
+
+def _noisy_graph(rng, N, noise=0.02):
+    from itertools import combinations
+    E = _random_se3(rng, N)
+    E[0] = np.eye(4)
+    Ps, conf = {}, {}
+    for i, j in combinations(range(N), 2):
+        P = E[j] @ pose_np.se3_inverse(E[i])
+        dq = np.array([1.0, *(rng.randn(3) * noise)])
+        dq /= np.linalg.norm(dq)
+        P = P.copy()
+        P[:3, :3] = pose_np.quat2mat_transform(dq[None])[0] @ P[:3, :3]
+        Ps[(i, j)] = P[None]
+        conf[(i, j)] = np.asarray([np.clip(0.8 + rng.rand() * 0.2, 0, 1)])
+    return E, Ps, conf
+
+
+def test_camera_synchronization_jax_matches_f64():
+    """The jitted f32 power-iteration sync tracks the host f64 reference."""
+    rng = np.random.RandomState(11)
+    N = 5
+    _, Ps, conf = _noisy_graph(rng, N)
+    ref = S.camera_synchronization(Ps, conf, N, squares=10,
+                                   center_first_camera=True)
+    fn = jax.jit(lambda ps, cf: S.camera_synchronization_jax(
+        ps, cf, N, squares=10, center_first_camera=True))
+    out = np.asarray(fn({k: jnp.asarray(v, jnp.float32) for k, v in Ps.items()},
+                        {k: jnp.asarray(v, jnp.float32) for k, v in conf.items()}))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_camera_synchronization_eig_cross_check():
+    """Spectral and power-iteration variants agree on relative rotations of a
+    consistent graph (reference implements both: utils/sync_utils.py:76-278)."""
+    rng = np.random.RandomState(12)
+    N = 5
+    E, Ps, conf = _noisy_graph(rng, N, noise=0.0)
+    power = S.camera_synchronization(Ps, conf, N, squares=10,
+                                     center_first_camera=True)
+    eig = S.camera_synchronization_eig(Ps, conf, N)
+    # both recover per-camera rotations up to a global gauge: compare
+    # relative rotations R_i R_0^T between all camera pairs
+    for out in (power, eig):
+        for i in range(1, N):
+            rel = out[0, i, :3, :3] @ out[0, 0, :3, :3].T
+            gt_rel = E[i, :3, :3] @ E[0, :3, :3].T
+            err = rel @ gt_rel.T
+            ang = np.degrees(np.arccos(np.clip((np.trace(err) - 1) / 2, -1, 1)))
+            assert ang < 1.0, (i, ang)
 
 
 def test_camera_chaining():
