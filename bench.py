@@ -1,12 +1,18 @@
-"""Benchmark: flagship FORGE forward throughput on one TPU chip.
+"""Benchmark: flagship FORGE throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Primary metric: 5-view objects/sec for the full eval-style forward (encode 5
 views -> predict poses -> rotate -> fuse -> decode -> render 10 views at
 256^2, 64 samples/ray = 10.5M ray-samples/object, BASELINE.md:22). Both
-renderer backends ('xla' reference gather, 'packed' corner-packed gather) are
+renderer backends ('packed' corner-packed gather, 'pallas' fused kernel) are
 timed; the headline is the best.
+
+extras additionally report the two hot backward paths (VERDICT round 1 #9):
+  - refine_ms_per_iter: one test-time pose-optimization step (Adam through
+    the frozen fuse+render graph, reference kubric_eval.py:450-527)
+  - train_step_ms: one full joint train step (loss + backward + optimizer),
+    batch 1, reference scripts/kubric_trainer.py
 
 vs_baseline compares per-chip against the reference's estimated per-A40
 eval-forward throughput (~2.5 obj/s; the reference publishes no objects/sec —
@@ -19,30 +25,89 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 BASELINE_OBJECTS_PER_SEC_PER_A40 = 2.5  # estimated; see module docstring
 
 
-def _measure(backend: str, n_iter: int = 5):
+def _time_best(fn, args_list, n_iter=5):
+    """min wall time over n_iter calls, cycling distinct inputs."""
+    out = fn(*args_list[0])
+    jax.block_until_ready(out)
+    times = []
+    for i in range(n_iter):
+        a = args_list[i % len(args_list)]
+        t0 = time.perf_counter()
+        out = fn(*a)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _setup(backend: str):
     import __graft_entry__ as ge
-    from forge_tpu.models import build_model, TrainFlags
+    from forge_tpu.models import build_model
+
+    cfg = ge.flagship_config(backend=backend)
+    model = build_model(cfg)
+    samples = [ge.synthetic_sample(cfg, b=1, t_all=10, seed=s)
+               for s in range(2)]
+    variables = ge.zeros_variables(model, samples[0])
+    return cfg, model, samples, variables
+
+
+def _measure_forward(backend: str):
+    from forge_tpu.models import TrainFlags
+
+    cfg, model, samples, variables = _setup(backend)
+    fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()))
+    return _time_best(fn, [(variables, s) for s in samples])
+
+
+def _measure_refine(backend: str, chunk: int = 10):
+    """ms per refinement iteration (5-view fuse+render fwd+bwd+Adam)."""
+    from forge_tpu.eval.refine import make_refiner
+
+    cfg, model, samples, variables = _setup(backend)
+    sample = samples[0]
+    feats = jax.jit(
+        lambda v, x: model.apply(
+            v, x, False, method=lambda m, c, t: m.encode_views(c, t))
+    )(variables, jnp.asarray(sample["images"][:, :5]))
+    pose = jnp.zeros((4, 7), jnp.float32).at[:, 0].set(1.0)
+    camK = jnp.asarray(sample["K_cv2"][:, :5])
+    timgs = jnp.asarray(sample["images"][:, :5])
+    tmasks = jnp.asarray(sample["fg_probabilities"][:, :5])
+    refiner = jax.jit(make_refiner(model, cfg, chunk))
+    dt = _time_best(refiner, [(variables, pose, feats, camK, timgs, tmasks)],
+                    n_iter=3)
+    return dt / chunk
+
+
+def _measure_train_step(backend: str):
+    """One joint train step (batch 1) on the chip."""
+    import __graft_entry__ as ge
+    from forge_tpu.models import build_model
+    from forge_tpu.train import (
+        create_train_state, make_train_step, get_curriculum_step)
 
     cfg = ge.flagship_config(backend=backend)
     model = build_model(cfg)
     sample = ge.synthetic_sample(cfg, b=1, t_all=10)
-    variables = ge.zeros_variables(model, sample)
+    step_def = get_curriculum_step("full", "joint")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state, tx = create_train_state(
+            model, cfg, sample, jax.random.PRNGKey(0), step_def)
+    state = jax.device_put(state, jax.devices()[0])
+    train_step = jax.jit(make_train_step(model, cfg, step_def, tx))
+    rng = jax.random.PRNGKey(1)
 
-    fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()))
-    out = fn(variables, sample)
-    jax.block_until_ready(out)
+    def run(st, s, r):
+        new_state, metrics = train_step(st, s, r, 0)
+        return metrics
 
-    times = []
-    for _ in range(n_iter):
-        t0 = time.perf_counter()
-        out = fn(variables, sample)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return _time_best(run, [(state, sample, rng)], n_iter=3)
 
 
 def main():
@@ -51,7 +116,7 @@ def main():
     results = {}
     for b in backends:
         try:
-            results[b] = _measure(b.strip())
+            results[b] = _measure_forward(b.strip())
         except Exception as e:  # a backend failing must not kill the bench
             results[b] = None
             print(f"# backend {b} failed: {type(e).__name__}: {e}"[:300])
@@ -67,18 +132,31 @@ def main():
     objects_per_sec = 1.0 / dt
     ray_samples = 10 * 128 * 128 * 64
 
+    extra = {
+        "backend": best_backend,
+        "sec_per_forward": {k: (round(v, 4) if v else None)
+                            for k, v in results.items()},
+        "ray_msamples_per_sec": round(ray_samples / dt / 1e6, 1),
+        "device": str(jax.devices()[0]),
+    }
+    if os.environ.get("FORGE_BENCH_FAST", "") != "1":
+        try:
+            extra["refine_ms_per_iter"] = round(
+                _measure_refine(best_backend) * 1e3, 1)
+        except Exception as e:
+            extra["refine_ms_per_iter"] = f"failed: {e}"[:120]
+        try:
+            extra["train_step_ms"] = round(
+                _measure_train_step(best_backend) * 1e3, 1)
+        except Exception as e:
+            extra["train_step_ms"] = f"failed: {e}"[:120]
+
     print(json.dumps({
         "metric": "5-view objects/sec (full forward, b=1, 10 renders @128^2x64)",
         "value": round(objects_per_sec, 4),
         "unit": "objects/sec",
         "vs_baseline": round(objects_per_sec / BASELINE_OBJECTS_PER_SEC_PER_A40, 3),
-        "extra": {
-            "backend": best_backend,
-            "sec_per_forward": {k: (round(v, 4) if v else None)
-                                for k, v in results.items()},
-            "ray_msamples_per_sec": round(ray_samples / dt / 1e6, 1),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }))
 
 

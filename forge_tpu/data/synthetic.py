@@ -101,7 +101,10 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
         return rgb.astype(np.float32), alpha.astype(np.float32), depth.astype(np.float32)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        if idx in self._cache and self.split != "train":
+        # scenes and views are deterministic per idx, so caching is exact;
+        # train scenes are cached too — regenerating costs a full 10-view
+        # render per access, which would dominate a training epoch.
+        if idx in self._cache:
             return self._cache[idx]
         cfg = self.cfg
         rng = np.random.RandomState(cfg.seed * 1000 + idx
@@ -132,6 +135,5 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
             seq_name=self.seq_names[idx],
             seen_flag=(1.0 if self.split == "test" else None),
         )
-        if self.split != "train":
-            self._cache[idx] = sample
+        self._cache[idx] = sample
         return sample

@@ -99,10 +99,13 @@ def evaluate_canonical(
     renderer: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
     eval_pose: bool = True,
+    vis: Optional[tuple] = None,
 ) -> Dict[str, float]:
     """Render held-out NVS views and compute image + pose metrics.
 
-    reference: kubric_eval.py:258-367.
+    reference: kubric_eval.py:258-367. vis=(output_dir, name, batch_idx,
+    canonical_id) additionally writes the per-canonical vis_seq panels of the
+    NVS renders and the re-rendered input views (kubric_eval.py:313-347).
     """
     renderer = renderer or make_eval_renderer(model)
     clips_nvs = np.asarray(sample["images"][:, 5:])     # [1,5,H,W,3]
@@ -116,6 +119,37 @@ def evaluate_canonical(
     )
     imgs = np.asarray(imgs)
     depths = np.asarray(depths)
+
+    if vis is not None:
+        from forge_tpu.utils.vis import vis_seq
+
+        output_dir, name, batch_idx, cid = vis
+        tag = f"{batch_idx}_{cid}"
+        has_depth = "depths" in sample
+        vis_seq(
+            clips_nvs, np.asarray(sample["fg_probabilities"][:, 5:]),
+            imgs[None], np.asarray(masks)[None], tag, output_dir,
+            subfolder=os.path.join("nvs", name),
+            vid_depths=(np.asarray(sample["depths"][:, 5:])
+                        if has_depth else None),
+            recon_depths=depths[None] if has_depth else None,
+        )
+        # re-render the (permuted) input views (kubric_eval.py:330-347)
+        in_imgs, in_masks, in_depths = renderer(
+            variables, jnp.asarray(entry["features_raw"]),
+            jnp.asarray(entry["poses_cam"]), camK,
+            jnp.asarray(entry["nvs_extr"][:, :5]), camK,
+        )
+        perm = entry["permutation"]
+        vis_seq(
+            np.asarray(sample["images"][:, :5])[:, perm],
+            np.asarray(sample["fg_probabilities"][:, :5])[:, perm],
+            np.asarray(in_imgs)[None], np.asarray(in_masks)[None],
+            tag, output_dir, subfolder=os.path.join("inputs", name),
+            vid_depths=(np.asarray(sample["depths"][:, :5])[:, perm]
+                        if has_depth else None),
+            recon_depths=np.asarray(in_depths)[None] if has_depth else None,
+        )
 
     psnr = ssim = 0.0
     n = clips_nvs.shape[1]
@@ -148,14 +182,16 @@ def evaluate_canonical(
 
 
 def evaluate_all(model, variables, sample, return_dict, cfg,
-                 renderer=None, lpips_fn=None):
+                 renderer=None, lpips_fn=None, vis_base=None):
     """Evaluate every canonical choice; best = lowest rot error
-    (reference: kubric_eval.py:235-255)."""
+    (reference: kubric_eval.py:235-255). vis_base=(output_dir, name,
+    batch_idx) writes per-canonical nvs/inputs panels."""
     results = {}
     for cid in sorted(return_dict.keys(), key=int):
         results[cid] = evaluate_canonical(
             model, variables, sample, return_dict[cid], cfg,
             renderer=renderer, lpips_fn=lpips_fn,
+            vis=(vis_base + (cid,)) if vis_base is not None else None,
         )
     best = min(results, key=lambda k: results[k]["rot_error"])
     return best, results
@@ -204,12 +240,51 @@ def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config) -> np.ndar
     return np.asarray(mat2quat(jnp.asarray(rel.astype(np.float32))))
 
 
+def _poses_cv2_from_vec(pose_vec, camera_z: float) -> np.ndarray:
+    """quat+trans rel pose rows [t-1, 7] -> canonicalized cv2 camera poses
+    [t, 4, 4] (reference: models/model.py:74-81)."""
+    rel = np.asarray(quat2mat(jnp.asarray(np.asarray(pose_vec, np.float32))))
+    rel = np.concatenate([np.eye(4, dtype=np.float32)[None], rel], axis=0)
+    canon = np.eye(4, dtype=np.float32)
+    canon[2, 3] = -camera_z
+    return pose_np.canonicalize_poses(canon, rel)
+
+
+def _vis_poses(entry, pose_vec, cfg, output_dir, name, batch_idx):
+    """Frustum plot of predicted vs GT camera poses; the GT z column is
+    shifted by -camera_z like the reference (kubric_eval.py:554-557 — the
+    omniobject variant uses its own camera_z 4.0, omniobject_eval.py:557;
+    parameterized here via cfg.render.camera_z)."""
+    import os as _os
+
+    from forge_tpu.utils.vis import vis_poses
+
+    pred = _poses_cv2_from_vec(pose_vec, cfg.render.camera_z)
+    gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4).copy()
+    gt[:, 2, 3] -= cfg.render.camera_z
+    vis_poses(None, pred[None], gt[None], output_dir,
+              subfolder=_os.path.join("poses", name, str(batch_idx)))
+
+
 def visualize_360(model, variables, entry, camK, cfg, output_dir, name,
-                  batch_idx, n_views: int = 28):
+                  batch_idx, n_views: int = 28, combination=None):
     """Turntable GIF from the current pose estimate
-    (reference: kubric_eval.py:166-232)."""
+    (reference: kubric_eval.py:166-232). combination: optional view-index
+    subset (of views 1..t-1) fused together with the canonical view
+    (reference's `combination` arg, kubric_eval.py:180-186)."""
     from forge_tpu.geometry.cameras import look_at_view_transform_cv2
     from forge_tpu.utils.vis import vis_nvs
+
+    features_raw = np.asarray(entry["features_raw"])
+    poses_cam = np.asarray(entry["poses_cam"])
+    img_name = f"{batch_idx}"
+    if combination is not None:
+        views = [0] + list(combination)
+        features_raw = features_raw[:, views]
+        poses_cam = poses_cam[[v - 1 for v in combination]]
+        img_name = "sample{}_{}views_{}".format(
+            batch_idx, len(combination),
+            "_".join(str(v) for v in combination))
 
     R, t = look_at_view_transform_cv2(
         dist=np.full(n_views, cfg.render.camera_z),
@@ -221,14 +296,32 @@ def visualize_360(model, variables, entry, camK, cfg, output_dir, name,
     extr[0, :, :3, 3] = t
     nvs_K = np.tile(np.asarray(camK)[:, :1], (1, n_views, 1, 1))
     renderer = make_eval_renderer(model)
-    imgs, masks, _ = renderer(
-        variables, jnp.asarray(entry["features_raw"]),
-        jnp.asarray(entry["poses_cam"]), jnp.asarray(camK),
+    imgs, masks, depths = renderer(
+        variables, jnp.asarray(features_raw),
+        jnp.asarray(poses_cam), jnp.asarray(camK),
         jnp.asarray(extr), jnp.asarray(nvs_K),
     )
     return vis_nvs(np.asarray(imgs).astype(np.float32),
-                   f"{batch_idx}", output_dir,
-                   subfolder=os.path.join("vis_360", name))
+                   img_name, output_dir,
+                   subfolder=os.path.join("vis_360", name),
+                   masks=np.asarray(masks), depths=np.asarray(depths))
+
+
+def visualize_360_all(model, variables, entry, camK, cfg, output_dir, name,
+                      batch_idx, n_views: int = 28):
+    """Turntable GIFs for every non-empty subset of the non-canonical views
+    fused with the canonical one (reference: kubric_eval.py:148-163)."""
+    # divergence note: the reference enumerates subsets of ALL views and
+    # prepends the canonical view even when already present (duplicating
+    # view 0 for subsets containing it, kubric_eval.py:161-163,182); we
+    # enumerate subsets of the non-canonical views, which covers the same
+    # distinct fusions without the duplicate-view renders.
+    t = entry["features_raw"].shape[1]
+    for r in range(1, t):
+        for comb in combinations(range(1, t), r):
+            visualize_360(model, variables, entry, camK, cfg, output_dir,
+                          name, batch_idx, n_views=n_views,
+                          combination=list(comb))
 
 
 def run_optimization(
@@ -241,6 +334,7 @@ def run_optimization(
     use_sync: bool = False, iter_num: int = 1000,
     max_instances: Optional[int] = None,
     visualize: bool = False,
+    visualize_all: bool = False,
     variables_render: Optional[Dict] = None,
     instance_retries: int = 2,
 ) -> str:
@@ -336,7 +430,7 @@ def run_optimization(
                     model, variables, vr, sample, cfg, batch_idx, seen,
                     encode, renderer, refiner, n_refine_chunks, lpips_fn,
                     use_sync, visualize, output_dir, outfile, pose_log,
-                    lpips_label=lpips_label)
+                    lpips_label=lpips_label, visualize_all=visualize_all)
                 break
             except (KeyboardInterrupt, SystemExit):
                 raise
@@ -358,7 +452,7 @@ def run_optimization(
 def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
                   encode, renderer, refiner, n_refine_chunks, lpips_fn,
                   use_sync, visualize, output_dir, outfile, pose_log,
-                  lpips_label: str = "lpips"):
+                  lpips_label: str = "lpips", visualize_all: bool = False):
     """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
 
     Split out of run_optimization so a device failure anywhere in the
@@ -368,7 +462,8 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
     best, results = evaluate_all(
         model, vr, sample, rd, cfg, renderer=renderer,
-        lpips_fn=lpips_fn)
+        lpips_fn=lpips_fn,
+        vis_base=(output_dir, "before", batch_idx) if visualize else None)
     before = results[best]
     entry = rd[best]
     pose = entry["poses_cam"].copy()
@@ -376,6 +471,11 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     if visualize:
         visualize_360(model, vr, entry, camK5, cfg, output_dir,
                       "before", batch_idx)
+        _vis_poses(entry, entry["poses_cam"], cfg, output_dir,
+                   "before", batch_idx)
+    if visualize_all:
+        visualize_360_all(model, vr, entry, camK5, cfg, output_dir,
+                          "before_all", batch_idx)
 
     if use_sync:
         try:
@@ -407,10 +507,15 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     entry_after["poses_cam"] = refined
     after = evaluate_canonical(
         model, vr, sample, entry_after, cfg,
-        renderer=renderer, lpips_fn=lpips_fn)
+        renderer=renderer, lpips_fn=lpips_fn,
+        vis=((output_dir, "after", batch_idx, best) if visualize else None))
     if visualize:
         visualize_360(model, vr, entry_after, camK5, cfg,
                       output_dir, "after", batch_idx)
+        _vis_poses(entry, refined, cfg, output_dir, "after", batch_idx)
+    if visualize_all:
+        visualize_360_all(model, vr, entry_after, camK5, cfg, output_dir,
+                          "after_all", batch_idx)
 
     with open(outfile, "a+") as f:
         for name, r in (("before", before), ("after", after)):

@@ -107,17 +107,30 @@ def _ray_march_kernel(
 
     def tent(i_coord, base, iota):
         absidx = base.astype(jnp.float32) + iota           # [1, size]
-        d = i_coord[:, None] - absidx                      # [R, size]
+        d = i_coord[:, None] - absidx                      # [rows, size]
         w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
         return w * ((absidx >= 0) & (absidx <= D - 1))
 
-    def body(s, carry):
+    # Two depth samples per iteration sharing one brick fetch: the stacked
+    # tent contractions run with M = 2R = 128 rows — a full MXU pass instead
+    # of two half-occupied ones — and the sequential EA state update stays
+    # on the VPU. Adjacent samples advance ~1.5 voxels along the ray, well
+    # inside the bricks' alignment margin.
+    assert n_pts % 2 == 0, "n_pts_per_ray must be even (2 samples/iter)"
+
+    def body(it, carry):
         acc_feat, acc_depth, transmittance, survive_all = carry
-        z = min_depth + step * s
-        px = ox + z * dirs[:, 0]
-        py = oy + z * dirs[:, 1]
-        pz = oz + z * dirs[:, 2]
-        ix = -px * scale + half                            # W axis [R]
+        s = it * 2
+        z0 = min_depth + step * s
+        z1 = z0 + step
+        zz = jnp.concatenate(
+            [jnp.full((R,), z0, jnp.float32), jnp.full((R,), z1, jnp.float32)]
+        )                                                  # [2R]
+        dirs2 = jnp.concatenate([dirs, dirs], axis=0)      # [2R, 128]
+        px = ox + zz * dirs2[:, 0]
+        py = oy + zz * dirs2[:, 1]
+        pz = oz + zz * dirs2[:, 2]
+        ix = -px * scale + half                            # W axis [2R]
         iy = -py * scale + half                            # H axis
         iz = pz * scale + half                             # D axis
 
@@ -131,10 +144,10 @@ def _ray_march_kernel(
         hbase = pl.multiple_of(base_of(iy, BH, 8), 8)
         xbase = pl.multiple_of(base_of(ix, BX, 8), 8)
 
-        wz = tent(iz, dbase, iota_z)                       # [R, BZ]
-        wy = tent(iy, hbase, iota_h)                       # [R, BH]
-        wx = tent(ix, xbase, iota_x)                       # [R, BX]
-        wx_full = tent(ix, jnp.zeros((), jnp.int32), iota_w)  # [R, D]
+        wz = tent(iz, dbase, iota_z)                       # [2R, BZ]
+        wy = tent(iy, hbase, iota_h)                       # [2R, BH]
+        wx = tent(ix, xbase, iota_x)                       # [2R, BX]
+        wx_full = tent(ix, jnp.zeros((), jnp.int32), iota_w)  # [2R, D]
 
         # MXU contractions run in mm_dtype (bf16 in production: ~4x the f32
         # MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8 relative,
@@ -143,24 +156,28 @@ def _ray_march_kernel(
                                   preferred_element_type=jnp.float32)
         ohzy = (
             mm(wz, expand_z) * mm(wy, expand_y)
-        )                                                  # [R, BZ*BH]
+        )                                                  # [2R, BZ*BH]
 
         xoff = pl.multiple_of(xbase * C, 128)  # xbase % 8 == 0, C*8 % 128 == 0
         fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           pl.ds(xoff, BX * C)]             # [BZ, BH, BX*C]
-        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [R, BX*C]
+        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [2R, BX*C]
         wx_rep = mm(wx, expand_x)
-        feat = mm(m1 * wx_rep, sel)                        # [R, C]
+        feat = mm(m1 * wx_rep, sel)                        # [2R, C]
 
         dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]  # [BZ,BH,D]
-        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [R, D]
-        dens = jnp.sum(d1 * wx_full, axis=1)               # [R]
+        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [2R, D]
+        dens2 = jnp.sum(d1 * wx_full, axis=1)              # [2R]
 
-        w = dens * transmittance
-        acc_feat = acc_feat + w[:, None] * feat
-        acc_depth = acc_depth + w * z
-        transmittance = transmittance * ((1.0 + EA_EPS) - dens)
-        survive_all = survive_all * (1.0 - dens)
+        d0, d1_ = dens2[:R], dens2[R:]
+        f0, f1 = feat[:R], feat[R:]
+        w0 = d0 * transmittance
+        transmittance = transmittance * ((1.0 + EA_EPS) - d0)
+        w1 = d1_ * transmittance
+        transmittance = transmittance * ((1.0 + EA_EPS) - d1_)
+        acc_feat = acc_feat + w0[:, None] * f0 + w1[:, None] * f1
+        acc_depth = acc_depth + w0 * z0 + w1 * z1
+        survive_all = survive_all * (1.0 - d0) * (1.0 - d1_)
         return acc_feat, acc_depth, transmittance, survive_all
 
     init = (
@@ -169,7 +186,8 @@ def _ray_march_kernel(
         jnp.ones((R,), jnp.float32),
         jnp.ones((R,), jnp.float32),
     )
-    acc_feat, acc_depth, _, survive_all = jax.lax.fori_loop(0, n_pts, body, init)
+    acc_feat, acc_depth, _, survive_all = jax.lax.fori_loop(
+        0, n_pts // 2, body, init)
     opacity = 1.0 - survive_all
     out = jnp.concatenate(
         [acc_feat, opacity[:, None], acc_depth[:, None]], axis=1
@@ -188,15 +206,20 @@ def render_volume_pallas(
     min_depth: float,
     max_depth: float,
     volume_size: float,
-    interpret: bool = False,
+    interpret: bool = None,
     vol_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Same contract as render_volume_xla.
+
+    interpret=None auto-selects the Pallas interpreter off-TPU (CPU test
+    runs) and the compiled Mosaic kernel on TPU.
 
     Constraints: cubic volume with D == H == W <= 128 and >= brick sizes;
     image_size % TILE == 0; channel count C with (8 * C) % 128 == 0 (e.g. the
     model's 16) so brick lane offsets align.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, D, H, W, C0 = features.shape
     assert D == H == W and D >= max(BZ, BH, BX) and W <= 128
     assert image_size % TILE == 0
@@ -248,6 +271,443 @@ def render_volume_pallas(
     )(origins.astype(jnp.float32), dirs, feat_vol, dens_vol)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernels
+#
+# The VJP of the emission-absorption march decomposes per ray (cotangents
+# gF [C], gO, gD; A_s = gF.f_s + gD z_s; T_s = prod_{j<s}(1+eps-sigma_j),
+# P_s = prod_{j<s}(1-sigma_j)):
+#
+#   dL/df_s     = w_s gF                      (w_s = sigma_s T_s)
+#   dL/dsigma_s = T_s (A_s - B_s) + gO P_s Q_s
+#     with the division-free reverse recurrences (no 1/(1+eps-sigma) blowups)
+#       B_{s-1} = sigma_s A_s + (1+eps-sigma_s) B_s,  B_{n-1} = 0
+#       Q_{s-1} = (1-sigma_s) Q_s,                    Q_{n-1} = 1
+#
+# Volume gradients are the TRANSPOSED tent contractions of the forward —
+# pure MXU matmuls accumulated brick-by-brick into a VMEM-resident gradient
+# volume over the sequential TPU grid (no HBM scatters, the XLA VJP's cost).
+# Ray gradients (for pose optimization through the renderer,
+# kubric_eval.py:450-527) use derivative tents w'(d) = -sign(d)|_{|d|<1} in
+# one factor of the same contractions; d(origin)/d(dirs) chain to (K, R, t)
+# through jax.vjp of pixel_rays_cv2 on the host graph (tiny).
+#
+# Split into two kernels to respect the ~16 MB VMEM budget:
+#   A (_bwd_dens): feat+dens volumes resident -> d_dens [D,H,W] f32 +
+#     per-ray d_origin/d_dirs; stashes per-sample (sigma, A, T, P) in scratch.
+#   B (_bwd_feat): d_feat is 64^3 x 16 f32 = 16.7 MB, so it runs per
+#     8-channel chunk in a c-major layout [B, NC, D, H, W*CC] (8.4 MB blocks),
+#     recomputing w_s from the density volume alone (0.5 MB bf16).
+# ---------------------------------------------------------------------------
+
+BX2 = 32        # kernel-B brick voxels along W (base aligned to 16 so the
+                # lane offset xbase*CC is 128-aligned for CC=8)
+CC = 8          # feature channels per kernel-B chunk
+
+# v5e has 128 MB physical VMEM; XLA's default scoped-vmem limit is 16 MB,
+# which the 8.4 MB gradient block + compiler stack slightly exceeds.
+_BWD_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
+def _geometry(origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D):
+    """Shared per-tile ray setup (identical to the forward kernel)."""
+    R = TILE * TILE
+    dirs = dirs_ref[0].reshape(R, 128)
+    ox = origin_ref[b, 0]
+    oy = origin_ref[b, 1]
+    oz = origin_ref[b, 2]
+    step = (max_depth - min_depth) / (n_pts - 1)
+    scale = 0.5 * (D - 1) / cmax
+    half = 0.5 * (D - 1)
+
+    def coords(s):
+        z = min_depth + step * s
+        px = ox + z * dirs[:, 0]
+        py = oy + z * dirs[:, 1]
+        pz = oz + z * dirs[:, 2]
+        ix = -px * scale + half
+        iy = -py * scale + half
+        iz = pz * scale + half
+        return z, ix, iy, iz
+
+    return coords, scale
+
+
+def _iota_f(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+
+
+def _expand_mat(n, m, div):
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 0)
+    key = (j // div) if div else (j % n)
+    return (key == i).astype(jnp.float32)
+
+
+def _sel_mat(bx, c):
+    jc = jax.lax.broadcasted_iota(jnp.int32, (bx * c, c), 0) % c
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bx * c, c), 1)
+    return (jc == cc).astype(jnp.float32)
+
+
+def _tent(i_coord, base, iota, D):
+    absidx = base.astype(jnp.float32) + iota
+    d = i_coord[:, None] - absidx
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return w * ((absidx >= 0) & (absidx <= D - 1))
+
+
+def _dtent(i_coord, base, iota, D):
+    """d/d(i_coord) of _tent: -sign(d) on |d| < 1, 0 outside (the lerp slope
+    F_{k+1} - F_k inside each cell; 0 exactly at integer coords)."""
+    absidx = base.astype(jnp.float32) + iota
+    d = i_coord[:, None] - absidx
+    w = jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+    return w * ((absidx >= 0) & (absidx <= D - 1))
+
+
+def _base_of(i_coord, width, align, D):
+    raw = jnp.floor(jnp.min(i_coord)).astype(jnp.int32) - 1
+    if align > 1:
+        raw = (raw // align) * align
+    return jnp.clip(raw, 0, D - width)
+
+
+def _mmT(a, b, mm_dtype):
+    """a [M, K], b [M, N] -> a^T @ b [K, N] (transposed-LHS MXU matmul)."""
+    return jax.lax.dot_general(
+        a.astype(mm_dtype), b.astype(mm_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _ray_march_bwd_dens_kernel(
+    origin_ref,   # SMEM [B, 3]
+    dirs_ref,     # VMEM [1, TILE, TILE, 128]
+    feat_ref,     # VMEM [1, D, H, W*C] bf16
+    dens_ref,     # VMEM [1, D, H, W] bf16
+    g_ref,        # VMEM [1, TILE, TILE, C + 2] f32 cotangent image
+    ddens_ref,    # VMEM out [1, D, H, W] f32 (accumulated over tiles)
+    dray_ref,     # VMEM out [1, TILE, TILE, 8] f32 (d_origin | d_dirs)
+    satp_ref,     # VMEM scratch [n_pts, 8, R]: rows sigma, A, T, P
+    *,
+    n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads,
+):
+    R = TILE * TILE
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    coords, scale = _geometry(
+        origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
+
+    iota_z = _iota_f(BZ)
+    iota_h = _iota_f(BH)
+    iota_x = _iota_f(BX)
+    iota_w = _iota_f(D)
+    expand_x = _expand_mat(BX, C, C)
+    expand_z = _expand_mat(BZ, BH, BH)
+    expand_y = _expand_mat(BH, BZ, 0)
+    sel = _sel_mat(BX, C)
+
+    g = g_ref[0].reshape(R, C + 2)
+    gF = g[:, :C]
+    gO = g[:, C]
+    gD = g[:, C + 1]
+
+    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    def _():
+        ddens_ref[...] = jnp.zeros(ddens_ref.shape, ddens_ref.dtype)
+
+    mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
+                               preferred_element_type=jnp.float32)
+
+    def bricks(ix, iy, iz):
+        dbase = _base_of(iz, BZ, 1, D)
+        hbase = pl.multiple_of(_base_of(iy, BH, 8, D), 8)
+        xbase = pl.multiple_of(_base_of(ix, BX, 8, D), 8)
+        wz = _tent(iz, dbase, iota_z, D)
+        wy = _tent(iy, hbase, iota_h, D)
+        wx = _tent(ix, xbase, iota_x, D)
+        wx_full = _tent(ix, jnp.zeros((), jnp.int32), iota_w, D)
+        ohzy = mm(wz, expand_z) * mm(wy, expand_y)
+        xoff = pl.multiple_of(xbase * C, 128)
+        fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
+                          pl.ds(xoff, BX * C)].reshape(BZ * BH, BX * C)
+        dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
+                          :].reshape(BZ * BH, D)
+        return dbase, hbase, xbase, wz, wy, wx, wx_full, ohzy, fbrick, dbrick
+
+    # ---- pass 1 (forward order): stash per-sample sigma, A, T, P ----
+    def body1(s, carry):
+        T, P = carry
+        z, ix, iy, iz = coords(s)
+        _, _, _, _, _, wx, wx_full, ohzy, fbrick, dbrick = bricks(ix, iy, iz)
+        m1 = mm(ohzy, fbrick)
+        wx_rep = mm(wx, expand_x)
+        feat = mm(m1 * wx_rep, sel)                        # [R, C]
+        d1 = mm(ohzy, dbrick)
+        dens = jnp.sum(d1 * wx_full, axis=1)               # [R]
+        A = jnp.sum(gF * feat, axis=1) + gD * z
+        satp_ref[pl.ds(s, 1), 0:1, :] = dens.reshape(1, 1, R)
+        satp_ref[pl.ds(s, 1), 1:2, :] = A.reshape(1, 1, R)
+        satp_ref[pl.ds(s, 1), 2:3, :] = T.reshape(1, 1, R)
+        satp_ref[pl.ds(s, 1), 3:4, :] = P.reshape(1, 1, R)
+        return (T * ((1.0 + EA_EPS) - dens), P * (1.0 - dens))
+
+    ones = jnp.ones((R,), jnp.float32)
+    jax.lax.fori_loop(0, n_pts, body1, (ones, ones))
+
+    # ---- pass 2 (reverse order): d_sigma -> d_dens bricks + ray grads ----
+    def body2(k, carry):
+        Bsuf, Q, dox, doy, doz, ddx, ddy, ddz = carry
+        s = n_pts - 1 - k
+        z, ix, iy, iz = coords(s)
+        (dbase, hbase, xbase, wz, wy, wx, wx_full, ohzy,
+         fbrick, dbrick) = bricks(ix, iy, iz)
+
+        row = satp_ref[pl.ds(s, 1), :, :].reshape(8, R)
+        sig = row[0]
+        A = row[1]
+        T = row[2]
+        P = row[3]
+        dsig = T * (A - Bsuf) + gO * P * Q                 # [R]
+
+        dd = _mmT(ohzy, dsig[:, None] * wx_full, mm_dtype)  # [BZ*BH, D]
+        cur = ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]
+        ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :] = (
+            cur + dd.reshape(BZ, BH, D))
+
+        if ray_grads:
+            d1 = mm(ohzy, dbrick)                           # [R, D]
+            m1 = mm(ohzy, fbrick)                           # [R, BX*C]
+            wx_rep = mm(wx, expand_x)
+            wzp = _dtent(iz, dbase, iota_z, D)
+            wyp = _dtent(iy, hbase, iota_h, D)
+            wxp_full = _dtent(ix, jnp.zeros((), jnp.int32), iota_w, D)
+            ohzy_dz = mm(wzp, expand_z) * mm(wy, expand_y)
+            ohzy_dy = mm(wz, expand_z) * mm(wyp, expand_y)
+            d1z = mm(ohzy_dz, dbrick)
+            d1y = mm(ohzy_dy, dbrick)
+            dsig_dx = jnp.sum(d1 * wxp_full, axis=1)
+            dsig_dy = jnp.sum(d1y * wx_full, axis=1)
+            dsig_dz = jnp.sum(d1z * wx_full, axis=1)
+            wxp_rep = mm(_dtent(ix, xbase, iota_x, D), expand_x)
+            df_dx = mm(m1 * wxp_rep, sel)                   # [R, C]
+            df_dy = mm(mm(ohzy_dy, fbrick) * wx_rep, sel)
+            df_dz = mm(mm(ohzy_dz, fbrick) * wx_rep, sel)
+            w = sig * T
+            gfdot = lambda df: jnp.sum(gF * df, axis=1)
+            gi_x = w * gfdot(df_dx) + dsig * dsig_dx
+            gi_y = w * gfdot(df_dy) + dsig * dsig_dy
+            gi_z = w * gfdot(df_dz) + dsig * dsig_dz
+            # chain index coords -> world point (ix = -px*scale + half, ...)
+            dpx = -scale * gi_x
+            dpy = -scale * gi_y
+            dpz = scale * gi_z
+            dox += dpx
+            doy += dpy
+            doz += dpz
+            ddx += z * dpx
+            ddy += z * dpy
+            ddz += z * dpz
+
+        Bsuf = sig * A + ((1.0 + EA_EPS) - sig) * Bsuf
+        Q = (1.0 - sig) * Q
+        return (Bsuf, Q, dox, doy, doz, ddx, ddy, ddz)
+
+    zeros = jnp.zeros((R,), jnp.float32)
+    out = jax.lax.fori_loop(
+        0, n_pts, body2,
+        (zeros, ones, zeros, zeros, zeros, zeros, zeros, zeros))
+    _, _, dox, doy, doz, ddx, ddy, ddz = out
+    packed = jnp.stack(
+        [dox, doy, doz, ddx, ddy, ddz, zeros, zeros], axis=1)  # [R, 8]
+    dray_ref[0] = packed.reshape(TILE, TILE, 8)
+
+
+def _ray_march_bwd_feat_kernel(
+    origin_ref,   # SMEM [B, 3]
+    dirs_ref,     # VMEM [1, TILE, TILE, 128]
+    dens_ref,     # VMEM [1, D, H, W] bf16
+    g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
+    dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
+    *,
+    n_pts, min_depth, max_depth, cmax, D, mm_dtype,
+):
+    R = TILE * TILE
+    b = pl.program_id(0)
+    ti = pl.program_id(2)
+    tj = pl.program_id(3)
+    coords, _ = _geometry(
+        origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
+
+    iota_z = _iota_f(BZ)
+    iota_h = _iota_f(BH)
+    iota_x2 = _iota_f(BX2)
+    iota_w = _iota_f(D)
+    expand_z = _expand_mat(BZ, BH, BH)
+    expand_y = _expand_mat(BH, BZ, 0)
+    expand_x2 = _expand_mat(BX2, CC, CC)
+    sel2 = _sel_mat(BX2, CC)
+
+    gF = g_ref[0, 0].reshape(R, CC)
+
+    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    def _():
+        dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
+
+    mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
+                               preferred_element_type=jnp.float32)
+
+    def body(s, T):
+        z, ix, iy, iz = coords(s)
+        dbase = _base_of(iz, BZ, 1, D)
+        hbase = pl.multiple_of(_base_of(iy, BH, 8, D), 8)
+        xbase = pl.multiple_of(_base_of(ix, BX2, 16, D), 16)
+        wz = _tent(iz, dbase, iota_z, D)
+        wy = _tent(iy, hbase, iota_h, D)
+        wx2 = _tent(ix, xbase, iota_x2, D)
+        wx_full = _tent(ix, jnp.zeros((), jnp.int32), iota_w, D)
+        ohzy = mm(wz, expand_z) * mm(wy, expand_y)          # [R, BZ*BH]
+        dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
+                          :].reshape(BZ * BH, D)
+        dens = jnp.sum(mm(ohzy, dbrick) * wx_full, axis=1)  # [R]
+        w = dens * T                                        # [R]
+
+        d_row = w[:, None] * gF                             # [R, CC]
+        # replicate channels across the BX2 x-positions: d_row @ sel2^T
+        drep = jax.lax.dot_general(
+            d_row.astype(mm_dtype), sel2.astype(mm_dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [R, BX2*CC]
+        dm1 = drep * mm(wx2, expand_x2)                     # [R, BX2*CC]
+        dfb = _mmT(ohzy, dm1, mm_dtype)                     # [BZ*BH, BX2*CC]
+
+        xoff = pl.multiple_of(xbase * CC, 128)
+        cur = dfeat_ref[0, 0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
+                        pl.ds(xoff, BX2 * CC)]
+        dfeat_ref[0, 0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
+                  pl.ds(xoff, BX2 * CC)] = cur + dfb.reshape(BZ, BH, BX2 * CC)
+        return T * ((1.0 + EA_EPS) - dens)
+
+    jax.lax.fori_loop(0, n_pts, body, jnp.ones((R,), jnp.float32))
+
+
+def render_volume_pallas_bwd(
+    features, densities, K, R, t, g,
+    image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+    interpret: bool = None,
+    vol_dtype=jnp.bfloat16,
+    mm_dtype=None,
+    ray_grads: bool = True,
+):
+    """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, D, H, W, C0 = features.shape
+    assert D == H == W and BX2 <= W <= 128 and C0 % CC == 0
+    NC = C0 // CC
+    mm_dtype = vol_dtype if mm_dtype is None else mm_dtype
+
+    feat_vol = features.astype(vol_dtype).reshape(B, D, H, W * C0)
+    dens_vol = densities[..., 0].astype(vol_dtype)
+    origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
+    dirs_pad = jnp.pad(dirs.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, 0), (0, 125)))
+    cmax = coord_grid_max(D, volume_size)
+    nt = image_size // TILE
+    g = g.astype(jnp.float32)
+
+    kern_a = functools.partial(
+        _ray_march_bwd_dens_kernel,
+        n_pts=n_pts_per_ray, min_depth=float(min_depth),
+        max_depth=float(max_depth), cmax=float(cmax), D=D, C=C0,
+        mm_dtype=mm_dtype, ray_grads=ray_grads,
+    )
+    d_dens, d_ray = pl.pallas_call(
+        kern_a,
+        grid=(B, nt, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, H, W * C0), lambda b, i, j: (b, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, TILE, C0 + 2),
+                         lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, TILE, 8), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, image_size, image_size, 8), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_pts_per_ray, 8, TILE * TILE),
+                                   jnp.float32)],
+        compiler_params=_BWD_PARAMS,
+        interpret=interpret,
+    )(origins.astype(jnp.float32), dirs_pad, feat_vol, dens_vol, g)
+
+    # c-major chunked cotangent image for kernel B
+    g_chunks = g[..., :C0].reshape(
+        B, image_size, image_size, NC, CC).transpose(0, 3, 1, 2, 4)
+
+    kern_b = functools.partial(
+        _ray_march_bwd_feat_kernel,
+        n_pts=n_pts_per_ray, min_depth=float(min_depth),
+        max_depth=float(max_depth), cmax=float(cmax), D=D,
+        mm_dtype=mm_dtype,
+    )
+    d_feat_chunks = pl.pallas_call(
+        kern_b,
+        grid=(B, NC, nt, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE, TILE, 128),
+                         lambda b, n, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, H, W), lambda b, n, i, j: (b, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE, TILE, CC),
+                         lambda b, n, i, j: (b, n, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, D, H, W * CC), lambda b, n, i, j: (b, n, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NC, D, H, W * CC), jnp.float32),
+        compiler_params=_BWD_PARAMS,
+        interpret=interpret,
+    )(origins.astype(jnp.float32), dirs_pad, dens_vol, g_chunks)
+
+    d_feat = d_feat_chunks.reshape(B, NC, D, H, W, CC)
+    d_feat = jnp.transpose(d_feat, (0, 2, 3, 4, 1, 5)).reshape(
+        B, D, H, W, C0).astype(features.dtype)
+    d_dens = d_dens[..., None].astype(densities.dtype)
+
+    if ray_grads:
+        d_origins = jnp.sum(d_ray[..., :3], axis=(1, 2))
+        d_dirs = d_ray[..., 3:6]
+        _, vjp_rays = jax.vjp(
+            lambda K_, R_, t_: pixel_rays_cv2(
+                K_, R_, t_, image_size, image_size), K, R, t)
+        dK, dR, dt = vjp_rays((d_origins, d_dirs.astype(dirs.dtype)))
+    else:
+        dK = jnp.zeros_like(K)
+        dR = jnp.zeros_like(R)
+        dt = jnp.zeros_like(t)
+    return d_feat, d_dens, dK, dR, dt
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
@@ -255,12 +715,12 @@ def render_volume_pallas_grad(
     features, densities, K, R, t,
     image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
 ):
-    """Differentiable wrapper: Pallas forward, XLA-path backward.
+    """Differentiable Pallas renderer: fused forward AND fused backward.
 
-    The kernel is numerically equivalent to `render_volume_xla`, so the exact
-    VJP of the XLA formulation is the correct gradient; the backward
-    rematerializes it (pose optimization and training differentiate through
-    the renderer, kubric_eval.py:450-527).
+    The backward is the transposed tent-matmul formulation (kernels above),
+    replacing the round-1 XLA-VJP fallback that was scatter-bound (training
+    steps and the 5000-iter refinement loop differentiate through the
+    renderer: models/volume_render.py:63, kubric_eval.py:450-527).
     """
     return render_volume_pallas(
         features, densities, K, R, t, image_size, n_pts_per_ray,
@@ -279,17 +739,11 @@ def _rvp_fwd(features, densities, K, R, t,
 
 def _rvp_bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
              res, g):
-    from forge_tpu.ops.ray_march import render_volume_xla
-
     features, densities, K, R, t = res
-    _, vjp = jax.vjp(
-        lambda f, d, K_, R_, t_: render_volume_xla(
-            f, d, K_, R_, t_, image_size, n_pts_per_ray,
-            min_depth, max_depth, volume_size,
-        ),
-        features, densities, K, R, t,
+    return render_volume_pallas_bwd(
+        features, densities, K, R, t, g,
+        image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
     )
-    return vjp(g)
 
 
 render_volume_pallas_grad.defvjp(_rvp_fwd, _rvp_bwd)

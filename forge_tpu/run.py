@@ -29,11 +29,11 @@ from typing import List, Optional
 import numpy as np
 
 
-def _build_dataset(cfg, split: str, synthetic: bool):
+def _build_dataset(cfg, split: str, synthetic: bool, synthetic_seqs: int = 8):
     if synthetic or cfg.dataset.root == "":
         from forge_tpu.data import SyntheticVoxelDataset
 
-        n = 8 if split == "train" else 2
+        n = synthetic_seqs if split == "train" else max(2, synthetic_seqs // 4)
         return SyntheticVoxelDataset(cfg, split=split, n_seqs=n,
                                      grid=cfg.dataset.img_size // 2)
     name = cfg.dataset.name
@@ -106,8 +106,9 @@ def cmd_train(args) -> int:
     step_def = get_curriculum_step(args.family, cfg.train.parameter or "pose")
     model = build_model(cfg)
 
-    train_ds = _build_dataset(cfg, "train", args.synthetic)
-    val_ds = _build_dataset(cfg, "test", args.synthetic)
+    train_ds = _build_dataset(cfg, "train", args.synthetic,
+                              args.synthetic_seqs)
+    val_ds = _build_dataset(cfg, "test", args.synthetic, args.synthetic_seqs)
     loader = Loader(train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, 1, drop_last=False)
 
@@ -196,11 +197,41 @@ def cmd_train(args) -> int:
     best = CKPT.BestTracker(output_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 
+    # train-time visualization every vis_freq iterations (reference:
+    # scripts/kubric_trainer.py:85-101); pose-only steps render nothing.
+    vis_fn = None
+    if cfg.vis_freq > 0 and step_def.loss != "pose":
+        from forge_tpu.models.forge import TrainFlags
+        from forge_tpu.utils.vis import vis_seq, vis_seq_sv_mv
+
+        fwd = (model.forward_single if args.family == "single"
+               else model.forward_full)
+        vis_render = jax.jit(
+            lambda v, s: model.apply(v, s, TrainFlags.none(), method=fwd))
+
+        def vis_fn(state, batch, epoch, it):
+            vvars = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+            small = jax.tree.map(lambda x: x[:1], batch)
+            out = vis_render(vvars, small)
+            imgs = np.asarray(out[0])[None]
+            masks = np.asarray(out[1])[None]
+            clips = np.asarray(small["images"])
+            fg = np.asarray(small["fg_probabilities"])
+            tag = f"{epoch}_{it}"
+            if args.family == "single":
+                vis_seq_sv_mv(clips[:, :5], fg[:, :5], imgs, masks,
+                              tag, output_dir)
+            else:
+                tr = imgs.shape[1]
+                vis_seq(clips[:, :tr], fg[:, :tr], imgs, masks,
+                        tag, output_dir)
+
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.end_epoch):
             state, rng, avg = train_epoch(
                 cfg, loader, state, train_step, rng, epoch, mesh=mesh,
-                logger=logger)
+                logger=logger, vis_fn=vis_fn)
             CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
                                  {"epoch": epoch, **avg})
             if (epoch + 1) % max(1, args.val_every) == 0:
@@ -225,7 +256,8 @@ def cmd_eval(args) -> int:
     cfg = update_config(args.cfg)
     logger, output_dir = create_logger(cfg, args.cfg, phase="eval")
     model = build_model(cfg)
-    ds = _build_dataset(cfg, "test", args.synthetic)
+    ds = _build_dataset(cfg, "test", args.synthetic,
+                        getattr(args, "synthetic_seqs", 8))
     loader = Loader(ds, 1, drop_last=False)
 
     sample0 = next(iter(loader))
@@ -285,6 +317,7 @@ def cmd_eval(args) -> int:
         use_sync=args.sync, iter_num=args.iter_num,
         max_instances=args.max_instances,
         visualize=args.visualize,
+        visualize_all=args.visualize_all,
         variables_render=variables_render,
     )
     from forge_tpu.eval.readout import summarize
@@ -399,6 +432,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--family", default="full",
                     choices=["single", "full", "pose2d"])
     tp.add_argument("--synthetic", action="store_true")
+    tp.add_argument("--synthetic-seqs", type=int, default=8,
+                    help="train scenes for --synthetic (val = seqs/4)")
     tp.add_argument("--epochs", type=int, default=0)
     tp.add_argument("--val-every", type=int, default=10)
     tp.add_argument("--load", action="append", default=[],
@@ -412,13 +447,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--cfg", required=True)
     ep.add_argument("--checkpoint", default="")
     ep.add_argument("--synthetic", action="store_true")
+    ep.add_argument("--synthetic-seqs", type=int, default=8)
     ep.add_argument("--sync", action="store_true")
     ep.add_argument("--split-num", type=int, default=1)
     ep.add_argument("--exp-id", type=int, default=0)
     ep.add_argument("--iter-num", type=int, default=1000)
     ep.add_argument("--max-instances", type=int, default=None)
     ep.add_argument("--visualize", action="store_true",
-                    help="write before/after 360-degree turntable GIFs")
+                    help="write before/after 360-degree turntable GIFs and "
+                         "per-canonical nvs/inputs panels")
+    ep.add_argument("--visualize-all", action="store_true",
+                    help="additionally render turntables for every view-"
+                         "subset fusion (reference visualize_360_all)")
     ep.add_argument("--lpips", action="store_true",
                     help="compute the LPIPS metric (VGG features)")
     ep.add_argument("--lpips-checkpoint", default="",

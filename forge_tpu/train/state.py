@@ -118,8 +118,12 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     # init_all touches every submodule so the parameter tree is complete
     # regardless of which curriculum step runs first (subtree surgery and
-    # later steps need the full tree).
-    variables = model.init({"params": rng}, sample, method=model.init_all)
+    # later steps need the full tree). Jitted: eager init dispatches every op
+    # separately (minutes over the high-latency TPU tunnel, and ~5 minutes
+    # even on a 1-core CPU host).
+    variables = jax.jit(
+        lambda s: model.init({"params": rng}, s, method=model.init_all)
+    )(sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, params, step)

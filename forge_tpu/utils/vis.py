@@ -88,12 +88,21 @@ def vis_seq_sv_mv(vid_clips, vid_masks, recon_clips, recon_masks, iter_num,
 
 def vis_nvs(imgs, img_name, output_dir, subfolder="vis_360",
             masks=None, depths=None, fps: int = 10):
-    """Turntable GIF (reference: utils/vis_utils.py:292-313); masks/depths
-    accepted for signature parity but only the rgb frames are written."""
+    """Turntable GIF (reference: utils/vis_utils.py:292-313). When masks /
+    depths are given each frame is [rgb | mask | depth] side by side."""
     import imageio
 
     imgs = np.clip(_to_np(imgs), 0, 1)
-    frames = (imgs * 255).astype(np.uint8)
+    strips = [imgs]
+    if masks is not None:
+        m = np.clip(_to_np(masks), 0, 1)
+        strips.append(np.broadcast_to(m, m.shape[:-1] + (3,)))
+    if depths is not None:
+        d = _to_np(depths)
+        d = d / max(float(d.max()), 1e-6)
+        cmap = plt.get_cmap("viridis")
+        strips.append(cmap(d[..., 0])[..., :3])
+    frames = (np.concatenate(strips, axis=2) * 255).astype(np.uint8)
     path = os.path.join(_outdir(output_dir, subfolder), f"{img_name}.gif")
     imageio.mimsave(path, list(frames), fps=fps, loop=0)
     return path
