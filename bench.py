@@ -22,26 +22,22 @@ batch 1). The driver's north star is >=5x per chip (BASELINE.md:25-28).
 
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
 
+from forge_tpu.utils.chiptime import chip_time, perturb_tree
+
 BASELINE_OBJECTS_PER_SEC_PER_A40 = 2.5  # estimated; see module docstring
 
 
-def _time_best(fn, args_list, n_iter=5):
-    """min wall time over n_iter calls, cycling distinct inputs."""
-    out = fn(*args_list[0])
-    jax.block_until_ready(out)
-    times = []
-    for i in range(n_iter):
-        a = args_list[i % len(args_list)]
-        t0 = time.perf_counter()
-        out = fn(*a)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+def _time_best(fn, base_args, n_iter=4):
+    """Relay-safe average seconds/call over n_iter distinct-input calls
+    (jax.block_until_ready does not synchronize over the axon relay, and
+    identical executions can be served memoized — see utils/chiptime.py)."""
+    args_list = [tuple(perturb_tree(a, i) for a in base_args)
+                 for i in range(n_iter)]
+    return chip_time(fn, args_list)
 
 
 def _setup(backend: str):
@@ -50,26 +46,24 @@ def _setup(backend: str):
 
     cfg = ge.flagship_config(backend=backend)
     model = build_model(cfg)
-    samples = [ge.synthetic_sample(cfg, b=1, t_all=10, seed=s)
-               for s in range(2)]
-    variables = ge.zeros_variables(model, samples[0])
-    return cfg, model, samples, variables
+    sample = ge.synthetic_sample(cfg, b=1, t_all=10)
+    variables = ge.zeros_variables(model, sample)
+    return cfg, model, sample, variables
 
 
 def _measure_forward(backend: str):
     from forge_tpu.models import TrainFlags
 
-    cfg, model, samples, variables = _setup(backend)
-    fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()))
-    return _time_best(fn, [(variables, s) for s in samples])
+    cfg, model, sample, variables = _setup(backend)
+    fn = jax.jit(lambda s: model.apply(variables, s, TrainFlags.none()))
+    return _time_best(fn, (sample,))
 
 
 def _measure_refine(backend: str, chunk: int = 10):
     """ms per refinement iteration (5-view fuse+render fwd+bwd+Adam)."""
     from forge_tpu.eval.refine import make_refiner
 
-    cfg, model, samples, variables = _setup(backend)
-    sample = samples[0]
+    cfg, model, sample, variables = _setup(backend)
     feats = jax.jit(
         lambda v, x: model.apply(
             v, x, False, method=lambda m, c, t: m.encode_views(c, t))
@@ -79,7 +73,7 @@ def _measure_refine(backend: str, chunk: int = 10):
     timgs = jnp.asarray(sample["images"][:, :5])
     tmasks = jnp.asarray(sample["fg_probabilities"][:, :5])
     refiner = jax.jit(make_refiner(model, cfg, chunk))
-    dt = _time_best(refiner, [(variables, pose, feats, camK, timgs, tmasks)],
+    dt = _time_best(refiner, (variables, pose, feats, camK, timgs, tmasks),
                     n_iter=3)
     return dt / chunk
 
@@ -103,11 +97,11 @@ def _measure_train_step(backend: str):
     train_step = jax.jit(make_train_step(model, cfg, step_def, tx))
     rng = jax.random.PRNGKey(1)
 
-    def run(st, s, r):
-        new_state, metrics = train_step(st, s, r, 0)
+    def run(s, r):
+        new_state, metrics = train_step(state, s, r, 0)
         return metrics
 
-    return _time_best(run, [(state, sample, rng)], n_iter=3)
+    return _time_best(run, (sample, rng), n_iter=3)
 
 
 def main():

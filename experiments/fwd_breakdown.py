@@ -1,14 +1,13 @@
 """Per-stage timing of the flagship forward on one TPU chip.
 
-Splits the 371 ms round-1 forward into encode / pose3d / pose2d / rotate /
-fuse+decode / render so optimization targets the real hot spots
-(VERDICT round 1: ~207 ms was non-renderer and unprofiled).
+Splits the forward into encode / pose3d / pose2d / rotate / fuse+decode /
+render using the honest relay-safe protocol in _timing.py.
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/experiments")
 
 import numpy as np
 import jax
@@ -16,26 +15,21 @@ import jax.numpy as jnp
 
 import __graft_entry__ as ge
 from forge_tpu.models import build_model, TrainFlags
+from _timing import chip_time, perturb_tree
+
+N = 4
 
 
-def _perturb(x, i):
-    """Tweak float arrays so the relay never serves a memoized execution."""
-    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
-        return x * (1.0 + 1e-6 * i)
-    return x
-
-
-def timeit(fn, *args, n=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for i in range(1, n + 1):
-        a = [jax.tree.map(lambda v: _perturb(v, i), arg) for arg in args]
-        t0 = time.perf_counter()
-        out = fn(*a)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+def report(name, fn, base_args):
+    args_list = [tuple(perturb_tree(a, i) for a in base_args)
+                 for i in range(N)]
+    try:
+        dt = chip_time(fn, args_list)
+        print(f"{name:18s}: {dt*1e3:8.1f} ms", flush=True)
+        return dt
+    except Exception as e:
+        print(f"{name:18s}: failed {e}"[:250], flush=True)
+        return 0.0
 
 
 def main():
@@ -47,67 +41,54 @@ def main():
     flags = TrainFlags.none()
     clips = jnp.asarray(sample["images"][:, :5])
 
-    # full forward
-    full = jax.jit(lambda v, s: model.apply(v, s, flags))
-    t_full = timeit(full, variables, sample)
-    print(f"full forward      : {t_full:8.1f} ms", flush=True)
+    full = jax.jit(lambda s: model.apply(variables, s, flags))
+    t_full = report("full forward", full, (sample,))
 
-    # encode (5x resnet50 -> voxels)
-    enc = jax.jit(lambda v, c: model.apply(
-        v, c, False, method=lambda m, cc, t: m.encode_views(cc, t)))
-    t_enc = timeit(enc, variables, clips)
-    print(f"encode 5 views    : {t_enc:8.1f} ms", flush=True)
-    feats = enc(variables, clips)
+    enc = jax.jit(lambda c: model.apply(
+        variables, c, False, method=lambda m, cc, t: m.encode_views(cc, t)))
+    t_enc = report("encode 5 views", enc, (clips,))
+    feats = enc(clips)
 
-    # pose estimators
-    p3d = jax.jit(lambda v, f: model.apply(
-        v, f, False, method=lambda m, ff, t: m.encoder_traj(ff, t, True)))
-    t_p3d = timeit(p3d, variables, feats)
-    print(f"pose3d (4096 attn): {t_p3d:8.1f} ms", flush=True)
+    p3d = jax.jit(lambda f: model.apply(
+        variables, f, False,
+        method=lambda m, ff, t: m.encoder_traj(ff, t, True)))
+    t_p3d = report("pose3d 4096-attn", p3d, (feats,))
 
-    p2d = jax.jit(lambda v, c: model.apply(
-        v, c, False, method=lambda m, cc, t: m.encoder_traj_2d(cc, t, True)))
-    try:
-        t_p2d = timeit(p2d, variables, clips)
-        print(f"pose2d (FPN)      : {t_p2d:8.1f} ms", flush=True)
-    except Exception as e:
-        print(f"pose2d failed: {e}"[:200], flush=True)
+    p2d = jax.jit(lambda c: model.apply(
+        variables, c, False,
+        method=lambda m, cc, t: m.encoder_traj_2d(cc, t, True)))
+    t_p2d = report("pose2d FPN", p2d, (clips,))
 
-    # rotate + fuse + decode
     from forge_tpu.ops.voxel import rotate_voxel_grids
 
     poses = jnp.asarray(sample["cam_poses_cv2_canonicalized"][:, :5])
     rot = jax.jit(lambda f, p: rotate_voxel_grids(
         f, p, cfg.render.volume_size))
-    t_rot = timeit(rot, feats, poses)
-    print(f"rotate (grid_samp): {t_rot:8.1f} ms", flush=True)
+    t_rot = report("rotate", rot, (feats, poses))
     feats_t = rot(feats, poses)
 
-    fuse = jax.jit(lambda v, f: model.apply(
-        v, f, False, method=lambda m, ff, t: m.fuse_and_decode(ff, TrainFlags.none())))
-    try:
-        t_fuse = timeit(fuse, variables, feats_t)
-        print(f"fuse+decode       : {t_fuse:8.1f} ms", flush=True)
-        feat_vol, dens_vol = fuse(variables, feats_t)
-    except Exception as e:
-        print(f"fuse failed: {e}"[:300], flush=True)
-        return
+    fuse = jax.jit(lambda f: model.apply(
+        variables, f, False,
+        method=lambda m, ff, t: m.fuse_and_decode(ff, TrainFlags.none())))
+    t_fuse = report("fuse+decode", fuse, (feats_t,))
+    feat_vol, dens_vol = fuse(feats_t)
 
-    # render 10 views
-    camE = jnp.asarray(sample["cam_extrinsics_cv2_canonicalized"]).reshape(10, 4, 4)
+    camE = jnp.asarray(
+        sample["cam_extrinsics_cv2_canonicalized"]).reshape(10, 4, 4)
     camK = jnp.asarray(sample["K_cv2"]).reshape(10, 3, 3)
-    feat_all = jnp.broadcast_to(feat_vol[:, None], (1, 10) + feat_vol.shape[1:]).reshape(
+    feat_all = jnp.broadcast_to(
+        feat_vol[:, None], (1, 10) + feat_vol.shape[1:]).reshape(
         (10,) + feat_vol.shape[1:])
-    dens_all = jnp.broadcast_to(dens_vol[:, None], (1, 10) + dens_vol.shape[1:]).reshape(
+    dens_all = jnp.broadcast_to(
+        dens_vol[:, None], (1, 10) + dens_vol.shape[1:]).reshape(
         (10,) + dens_vol.shape[1:])
-    rend = jax.jit(lambda v, f, d, e, k: model.apply(
-        v, f, d, e, k, TrainFlags.none(),
+    rend = jax.jit(lambda f, d, e: model.apply(
+        variables, f, d, e, camK, TrainFlags.none(),
         method=lambda m, ff, dd, ee, kk, fl: m.render_views(ff, dd, ee, kk, fl)))
-    t_rend = timeit(rend, variables, feat_all, dens_all, camE, camK)
-    print(f"render 10 views   : {t_rend:8.1f} ms", flush=True)
+    t_rend = report("render 10 views", rend, (feat_all, dens_all, camE))
 
-    rest = t_full - (t_enc + t_p3d + t_rot + t_fuse + t_rend)
-    print(f"unattributed      : {rest:8.1f} ms", flush=True)
+    rest = t_full - (t_enc + t_p3d + t_p2d + t_rot + t_fuse + t_rend)
+    print(f"{'unattributed':18s}: {rest*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""End-to-end curriculum on the synthetic dataset, on one TPU chip.
+
+Chains the reference's 6-step training curriculum (README.md:62-71,
+Appendix A of SURVEY.md) through the run.py CLI with --load surgery between
+steps, then runs the eval harness with test-time refinement. Writes per-step
+validation metrics to METRICS.md.
+
+Usage:  python experiments/run_curriculum.py [outdir] [--scale small|full]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/curriculum"
+SCALE = "small" if "--scale" not in sys.argv else sys.argv[
+    sys.argv.index("--scale") + 1]
+
+# epochs per step; synthetic scenes
+if SCALE == "full":
+    SEQS, EPOCHS = 64, dict(gt=40, p3d=20, p2d=20, head=10, pose=10, joint=20)
+else:
+    SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
+
+ENV = dict(os.environ)
+
+
+def run(tag, args):
+    t0 = time.time()
+    cmd = [sys.executable, "-m", "forge_tpu.run"] + args
+    print(f"\n=== {tag}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd, cwd="/root/repo", env=ENV)
+    print(f"=== {tag} done rc={r.returncode} ({time.time()-t0:.0f}s)",
+          flush=True)
+    if r.returncode != 0:
+        raise SystemExit(f"{tag} failed")
+
+
+def cpt(cfg_name):
+    d = os.path.join(OUT, "kubric", cfg_name)
+    for exp in sorted(os.listdir(d), reverse=True) if os.path.isdir(d) else []:
+        p = os.path.join(d, exp, "cpt_last")
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(d)
+
+
+common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "2",
+          "--output-dir", OUT]
+
+# step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
+run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
+                    "--family", "single",
+                    "--epochs", str(EPOCHS["gt"])] + common)
+gt_cpt = cpt("gt_pose")
+
+# step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1
+run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
+                    "--family", "single",
+                    "--epochs", str(EPOCHS["p3d"]),
+                    "--load", f"encoder_3d,render={gt_cpt}"] + common)
+p3d_cpt = cpt("pred_pose_3d")
+
+# step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
+run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
+                  "--family", "pose2d",
+                  "--epochs", str(EPOCHS["p2d"])] + common)
+p2d_cpt = cpt("pred_pose_2d")
+
+# step 3.1: fused pose head (pretrain_pose_2d3d.yaml)
+run("3.1 pose_head", ["train", "--cfg",
+                      "configs/kubric/pretrain_pose_2d3d.yaml",
+                      "--family", "full",
+                      "--epochs", str(EPOCHS["head"]),
+                      "--load", f"encoder_3d,render={gt_cpt}",
+                      "--load", f"encoder_traj={p3d_cpt}",
+                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common)
+head_cpt = cpt("pretrain_pose_2d3d")
+
+# step 3.2: pose (pred_pose_2d3d.yaml)
+run("3.2 pose", ["train", "--cfg", "configs/kubric/pred_pose_2d3d.yaml",
+                 "--family", "full",
+                 "--epochs", str(EPOCHS["pose"]),
+                 "--load", f"*={head_cpt}"] + common)
+pose_cpt = cpt("pred_pose_2d3d")
+
+# step 3.3: joint (joint_pose_2d3d.yaml) — drop fusion, re-load gt encoder
+run("3.3 joint", ["train", "--cfg", "configs/kubric/joint_pose_2d3d.yaml",
+                  "--family", "full",
+                  "--epochs", str(EPOCHS["joint"]),
+                  "--load", f"*={pose_cpt};drop=encoder_3d/fusion_feature",
+                  "--load", f"encoder_3d={gt_cpt}"] + common)
+joint_cpt = cpt("joint_pose_2d3d")
+
+# eval harness with refinement on the synthetic test split
+run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
+             "--synthetic", "--synthetic-seqs", str(SEQS),
+             "--output-dir", OUT,
+             "--checkpoint", joint_cpt,
+             "--render-checkpoint", gt_cpt,
+             "--iter-num", "200", "--max-instances", "4"])
+
+print("\ncurriculum complete; checkpoints under", OUT, flush=True)

@@ -111,43 +111,49 @@ def _ray_march_kernel(
         w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
         return w * ((absidx >= 0) & (absidx <= D - 1))
 
-    # Two depth samples per iteration sharing one brick fetch: the stacked
-    # tent contractions run with M = 2R = 128 rows — a full MXU pass instead
-    # of two half-occupied ones — and the sequential EA state update stays
-    # on the VPU. Adjacent samples advance ~1.5 voxels along the ray, well
-    # inside the bricks' alignment margin.
-    assert n_pts % 2 == 0, "n_pts_per_ray must be even (2 samples/iter)"
+    # SPI depth samples per iteration sharing one brick fetch: the stacked
+    # tent contractions run with M = SPI*R rows (full MXU passes instead of
+    # half-occupied ones, amortizing the brick operand load), while the
+    # sequential EA state update stays per-sample on the VPU. Adjacent
+    # samples advance ~1.5 voxels along the ray, inside the bricks'
+    # alignment margins for SPI <= 4 at flagship geometry.
+    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
 
     def body(it, carry):
         acc_feat, acc_depth, transmittance, survive_all = carry
-        s = it * 2
+        s = it * spi
         z0 = min_depth + step * s
-        z1 = z0 + step
-        zz = jnp.concatenate(
-            [jnp.full((R,), z0, jnp.float32), jnp.full((R,), z1, jnp.float32)]
-        )                                                  # [2R]
-        dirs2 = jnp.concatenate([dirs, dirs], axis=0)      # [2R, 128]
-        px = ox + zz * dirs2[:, 0]
-        py = oy + zz * dirs2[:, 1]
-        pz = oz + zz * dirs2[:, 2]
-        ix = -px * scale + half                            # W axis [2R]
-        iy = -py * scale + half                            # H axis
-        iz = pz * scale + half                             # D axis
+        zs = [z0 + step * k for k in range(spi)]
+        # per-sample [R] coordinate vectors; only 2-D tent matrices are
+        # concatenated (sublane axis) — Mosaic cannot concatenate 1-D
+        # vectors beyond one 128-lane tile
+        ixs, iys, izs = [], [], []
+        for zk in zs:
+            ixs.append(-(ox + zk * dirs[:, 0]) * scale + half)  # W axis [R]
+            iys.append(-(oy + zk * dirs[:, 1]) * scale + half)  # H axis
+            izs.append((oz + zk * dirs[:, 2]) * scale + half)   # D axis
 
-        def base_of(i_coord, width, align):
-            raw = jnp.floor(jnp.min(i_coord)).astype(jnp.int32) - 1
+        def base_of(coords, width, align):
+            m = coords[0]
+            for c in coords[1:]:
+                m = jnp.minimum(m, c)
+            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
             if align > 1:
                 raw = (raw // align) * align
             return jnp.clip(raw, 0, D - width)
 
-        dbase = base_of(iz, BZ, 1)
-        hbase = pl.multiple_of(base_of(iy, BH, 8), 8)
-        xbase = pl.multiple_of(base_of(ix, BX, 8), 8)
+        dbase = base_of(izs, BZ, 1)
+        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
+        xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
 
-        wz = tent(iz, dbase, iota_z)                       # [2R, BZ]
-        wy = tent(iy, hbase, iota_h)                       # [2R, BH]
-        wx = tent(ix, xbase, iota_x)                       # [2R, BX]
-        wx_full = tent(ix, jnp.zeros((), jnp.int32), iota_w)  # [2R, D]
+        def cat(mats):
+            return mats[0] if spi == 1 else jnp.concatenate(mats, axis=0)
+
+        wz = cat([tent(z, dbase, iota_z) for z in izs])     # [spi*R, BZ]
+        wy = cat([tent(y, hbase, iota_h) for y in iys])     # [spi*R, BH]
+        wx = cat([tent(x, xbase, iota_x) for x in ixs])     # [spi*R, BX]
+        wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
+                       for x in ixs])                       # [spi*R, D]
 
         # MXU contractions run in mm_dtype (bf16 in production: ~4x the f32
         # MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8 relative,
@@ -156,42 +162,39 @@ def _ray_march_kernel(
                                   preferred_element_type=jnp.float32)
         ohzy = (
             mm(wz, expand_z) * mm(wy, expand_y)
-        )                                                  # [2R, BZ*BH]
+        )                                                  # [spi*R, BZ*BH]
 
         xoff = pl.multiple_of(xbase * C, 128)  # xbase % 8 == 0, C*8 % 128 == 0
         fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           pl.ds(xoff, BX * C)]             # [BZ, BH, BX*C]
-        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [2R, BX*C]
+        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [spi*R, BX*C]
         wx_rep = mm(wx, expand_x)
-        feat = mm(m1 * wx_rep, sel)                        # [2R, C]
+        feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
 
         dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]  # [BZ,BH,D]
-        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [2R, D]
-        dens2 = jnp.sum(d1 * wx_full, axis=1)              # [2R]
+        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [spi*R, D]
+        dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]
 
-        d0, d1_ = dens2[:R], dens2[R:]
-        f0, f1 = feat[:R], feat[R:]
-        w0 = d0 * transmittance
-        transmittance = transmittance * ((1.0 + EA_EPS) - d0)
-        w1 = d1_ * transmittance
-        transmittance = transmittance * ((1.0 + EA_EPS) - d1_)
-        acc_feat = acc_feat + w0[:, None] * f0 + w1[:, None] * f1
-        acc_depth = acc_depth + w0 * z0 + w1 * z1
-        survive_all = survive_all * (1.0 - d0) * (1.0 - d1_)
+        for k in range(spi):
+            dk = dens_s[k * R:(k + 1) * R]                 # [R, 1] (sublane
+            fk = feat[k * R:(k + 1) * R]                   #  static slices)
+            wk = dk * transmittance
+            transmittance = transmittance * ((1.0 + EA_EPS) - dk)
+            acc_feat = acc_feat + wk * fk
+            acc_depth = acc_depth + wk * zs[k]
+            survive_all = survive_all * (1.0 - dk)
         return acc_feat, acc_depth, transmittance, survive_all
 
     init = (
         jnp.zeros((R, C), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.ones((R,), jnp.float32),
-        jnp.ones((R,), jnp.float32),
+        jnp.zeros((R, 1), jnp.float32),
+        jnp.ones((R, 1), jnp.float32),
+        jnp.ones((R, 1), jnp.float32),
     )
     acc_feat, acc_depth, _, survive_all = jax.lax.fori_loop(
-        0, n_pts // 2, body, init)
+        0, n_pts // spi, body, init)
     opacity = 1.0 - survive_all
-    out = jnp.concatenate(
-        [acc_feat, opacity[:, None], acc_depth[:, None]], axis=1
-    )
+    out = jnp.concatenate([acc_feat, opacity, acc_depth], axis=1)
     out_ref[0] = out.reshape(TILE, TILE, C + 2)
 
 
@@ -398,6 +401,7 @@ def _ray_march_bwd_dens_kernel(
     tj = pl.program_id(2)
     coords, scale = _geometry(
         origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
+    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
 
     iota_z = _iota_f(BZ)
     iota_h = _iota_f(BH)
@@ -410,8 +414,10 @@ def _ray_march_bwd_dens_kernel(
 
     g = g_ref[0].reshape(R, C + 2)
     gF = g[:, :C]
-    gO = g[:, C]
-    gD = g[:, C + 1]
+    gO = g[:, C:C + 1]                                     # [R, 1]
+    gD = g[:, C + 1:C + 2]
+    cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
+    gF_rep = cat([gF] * spi)                               # [spi*R, C]
 
     @pl.when(jnp.logical_and(ti == 0, tj == 0))
     def _():
@@ -420,107 +426,134 @@ def _ray_march_bwd_dens_kernel(
     mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
                                preferred_element_type=jnp.float32)
 
-    def bricks(ix, iy, iz):
-        dbase = _base_of(iz, BZ, 1, D)
-        hbase = pl.multiple_of(_base_of(iy, BH, 8, D), 8)
-        xbase = pl.multiple_of(_base_of(ix, BX, 8, D), 8)
-        wz = _tent(iz, dbase, iota_z, D)
-        wy = _tent(iy, hbase, iota_h, D)
-        wx = _tent(ix, xbase, iota_x, D)
-        wx_full = _tent(ix, jnp.zeros((), jnp.int32), iota_w, D)
-        ohzy = mm(wz, expand_z) * mm(wy, expand_y)
+    def group(s0):
+        """Shared-brick tent stack for samples s0..s0+spi-1."""
+        cs = [coords(s0 + k) for k in range(spi)]
+        zs = [c[0] for c in cs]
+        ixs = [c[1] for c in cs]
+        iys = [c[2] for c in cs]
+        izs = [c[3] for c in cs]
+
+        def base_of(coords_, width, align):
+            m = coords_[0]
+            for c in coords_[1:]:
+                m = jnp.minimum(m, c)
+            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
+            if align > 1:
+                raw = (raw // align) * align
+            return jnp.clip(raw, 0, D - width)
+
+        dbase = base_of(izs, BZ, 1)
+        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
+        xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
+        wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
+        wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
+        wx = cat([_tent(x, xbase, iota_x, D) for x in ixs])
+        wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                       for x in ixs])
+        ohzy = mm(wz, expand_z) * mm(wy, expand_y)         # [spi*R, ZH]
         xoff = pl.multiple_of(xbase * C, 128)
         fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           pl.ds(xoff, BX * C)].reshape(BZ * BH, BX * C)
         dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           :].reshape(BZ * BH, D)
-        return dbase, hbase, xbase, wz, wy, wx, wx_full, ohzy, fbrick, dbrick
+        return (zs, ixs, iys, izs, dbase, hbase, xbase,
+                wz, wy, wx, wx_full, ohzy, fbrick, dbrick)
 
     # ---- pass 1 (forward order): stash per-sample sigma, A, T, P ----
-    def body1(s, carry):
+    def body1(it, carry):
         T, P = carry
-        z, ix, iy, iz = coords(s)
-        _, _, _, _, _, wx, wx_full, ohzy, fbrick, dbrick = bricks(ix, iy, iz)
+        s = it * spi
+        (zs, _, _, _, _, _, _, _, _, wx, wx_full, ohzy,
+         fbrick, dbrick) = group(s)
         m1 = mm(ohzy, fbrick)
         wx_rep = mm(wx, expand_x)
-        feat = mm(m1 * wx_rep, sel)                        # [R, C]
+        feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
         d1 = mm(ohzy, dbrick)
-        dens = jnp.sum(d1 * wx_full, axis=1)               # [R]
-        A = jnp.sum(gF * feat, axis=1) + gD * z
-        satp_ref[pl.ds(s, 1), 0:1, :] = dens.reshape(1, 1, R)
-        satp_ref[pl.ds(s, 1), 1:2, :] = A.reshape(1, 1, R)
-        satp_ref[pl.ds(s, 1), 2:3, :] = T.reshape(1, 1, R)
-        satp_ref[pl.ds(s, 1), 3:4, :] = P.reshape(1, 1, R)
-        return (T * ((1.0 + EA_EPS) - dens), P * (1.0 - dens))
+        dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)   # [spi*R, 1]
+        A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)     # [spi*R, 1]
+        for k in range(spi):
+            dk = dens_s[k * R:(k + 1) * R]                 # [R, 1]
+            Ak = A_f[k * R:(k + 1) * R] + gD * zs[k]
+            satp_ref[pl.ds(s + k, 1), 0:1, :] = dk.reshape(1, 1, R)
+            satp_ref[pl.ds(s + k, 1), 1:2, :] = Ak.reshape(1, 1, R)
+            satp_ref[pl.ds(s + k, 1), 2:3, :] = T.reshape(1, 1, R)
+            satp_ref[pl.ds(s + k, 1), 3:4, :] = P.reshape(1, 1, R)
+            T = T * ((1.0 + EA_EPS) - dk)
+            P = P * (1.0 - dk)
+        return (T, P)
 
-    ones = jnp.ones((R,), jnp.float32)
-    jax.lax.fori_loop(0, n_pts, body1, (ones, ones))
+    ones = jnp.ones((R, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_pts // spi, body1, (ones, ones))
 
     # ---- pass 2 (reverse order): d_sigma -> d_dens bricks + ray grads ----
-    def body2(k, carry):
-        Bsuf, Q, dox, doy, doz, ddx, ddy, ddz = carry
-        s = n_pts - 1 - k
-        z, ix, iy, iz = coords(s)
-        (dbase, hbase, xbase, wz, wy, wx, wx_full, ohzy,
-         fbrick, dbrick) = bricks(ix, iy, iz)
+    def body2(it, carry):
+        Bsuf, Q, d_o, d_d = carry                          # [R,1]x2, [R,3]x2
+        s = n_pts - spi - it * spi
+        (zs, ixs, iys, izs, dbase, hbase, xbase,
+         wz, wy, wx, wx_full, ohzy, fbrick, dbrick) = group(s)
 
-        row = satp_ref[pl.ds(s, 1), :, :].reshape(8, R)
-        sig = row[0]
-        A = row[1]
-        T = row[2]
-        P = row[3]
-        dsig = T * (A - Bsuf) + gO * P * Q                 # [R]
+        sigs, Ts, dsigs = [None] * spi, [None] * spi, [None] * spi
+        for k in reversed(range(spi)):
+            row = satp_ref[pl.ds(s + k, 1), :, :].reshape(8, R)
+            sig = row[0:1].reshape(R, 1)
+            A = row[1:2].reshape(R, 1)
+            T = row[2:3].reshape(R, 1)
+            P = row[3:4].reshape(R, 1)
+            dsigs[k] = T * (A - Bsuf) + gO * P * Q
+            sigs[k], Ts[k] = sig, T
+            Bsuf = sig * A + ((1.0 + EA_EPS) - sig) * Bsuf
+            Q = (1.0 - sig) * Q
+        dsig = cat(dsigs)                                  # [spi*R, 1]
 
-        dd = _mmT(ohzy, dsig[:, None] * wx_full, mm_dtype)  # [BZ*BH, D]
+        dd = _mmT(ohzy, dsig * wx_full, mm_dtype)          # [BZ*BH, D]
         cur = ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]
         ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :] = (
             cur + dd.reshape(BZ, BH, D))
 
         if ray_grads:
-            d1 = mm(ohzy, dbrick)                           # [R, D]
-            m1 = mm(ohzy, fbrick)                           # [R, BX*C]
+            d1 = mm(ohzy, dbrick)                          # [spi*R, D]
+            m1 = mm(ohzy, fbrick)                          # [spi*R, BX*C]
             wx_rep = mm(wx, expand_x)
-            wzp = _dtent(iz, dbase, iota_z, D)
-            wyp = _dtent(iy, hbase, iota_h, D)
-            wxp_full = _dtent(ix, jnp.zeros((), jnp.int32), iota_w, D)
+            wzp = cat([_dtent(z, dbase, iota_z, D) for z in izs])
+            wyp = cat([_dtent(y, hbase, iota_h, D) for y in iys])
+            wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                            for x in ixs])
             ohzy_dz = mm(wzp, expand_z) * mm(wy, expand_y)
             ohzy_dy = mm(wz, expand_z) * mm(wyp, expand_y)
             d1z = mm(ohzy_dz, dbrick)
             d1y = mm(ohzy_dy, dbrick)
-            dsig_dx = jnp.sum(d1 * wxp_full, axis=1)
-            dsig_dy = jnp.sum(d1y * wx_full, axis=1)
-            dsig_dz = jnp.sum(d1z * wx_full, axis=1)
-            wxp_rep = mm(_dtent(ix, xbase, iota_x, D), expand_x)
-            df_dx = mm(m1 * wxp_rep, sel)                   # [R, C]
+            k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
+            dsig_dx = k1(d1 * wxp_full)                    # [spi*R, 1]
+            dsig_dy = k1(d1y * wx_full)
+            dsig_dz = k1(d1z * wx_full)
+            wxp_rep = mm(cat([_dtent(x, xbase, iota_x, D) for x in ixs]),
+                         expand_x)
+            df_dx = mm(m1 * wxp_rep, sel)                  # [spi*R, C]
             df_dy = mm(mm(ohzy_dy, fbrick) * wx_rep, sel)
             df_dz = mm(mm(ohzy_dz, fbrick) * wx_rep, sel)
-            w = sig * T
-            gfdot = lambda df: jnp.sum(gF * df, axis=1)
+            w = cat(sigs) * cat(Ts)                        # [spi*R, 1]
+            gfdot = lambda df: jnp.sum(gF_rep * df, axis=1, keepdims=True)
             gi_x = w * gfdot(df_dx) + dsig * dsig_dx
             gi_y = w * gfdot(df_dy) + dsig * dsig_dy
             gi_z = w * gfdot(df_dz) + dsig * dsig_dz
             # chain index coords -> world point (ix = -px*scale + half, ...)
-            dpx = -scale * gi_x
-            dpy = -scale * gi_y
-            dpz = scale * gi_z
-            dox += dpx
-            doy += dpy
-            doz += dpz
-            ddx += z * dpx
-            ddy += z * dpy
-            ddz += z * dpz
+            dp = jnp.concatenate(
+                [-scale * gi_x, -scale * gi_y, scale * gi_z], axis=1
+            )                                              # [spi*R, 3]
+            for k in range(spi):
+                dpk = dp[k * R:(k + 1) * R]
+                d_o = d_o + dpk
+                d_d = d_d + zs[k] * dpk
 
-        Bsuf = sig * A + ((1.0 + EA_EPS) - sig) * Bsuf
-        Q = (1.0 - sig) * Q
-        return (Bsuf, Q, dox, doy, doz, ddx, ddy, ddz)
+        return (Bsuf, Q, d_o, d_d)
 
-    zeros = jnp.zeros((R,), jnp.float32)
-    out = jax.lax.fori_loop(
-        0, n_pts, body2,
-        (zeros, ones, zeros, zeros, zeros, zeros, zeros, zeros))
-    _, _, dox, doy, doz, ddx, ddy, ddz = out
-    packed = jnp.stack(
-        [dox, doy, doz, ddx, ddy, ddz, zeros, zeros], axis=1)  # [R, 8]
+    zeros1 = jnp.zeros((R, 1), jnp.float32)
+    zeros3 = jnp.zeros((R, 3), jnp.float32)
+    _, _, d_o, d_d = jax.lax.fori_loop(
+        0, n_pts // spi, body2, (zeros1, ones, zeros3, zeros3))
+    packed = jnp.concatenate(
+        [d_o, d_d, jnp.zeros((R, 2), jnp.float32)], axis=1)  # [R, 8]
     dray_ref[0] = packed.reshape(TILE, TILE, 8)
 
 
@@ -550,6 +583,8 @@ def _ray_march_bwd_feat_kernel(
     sel2 = _sel_mat(BX2, CC)
 
     gF = g_ref[0, 0].reshape(R, CC)
+    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
+    cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
 
     @pl.when(jnp.logical_and(ti == 0, tj == 0))
     def _():
@@ -558,28 +593,49 @@ def _ray_march_bwd_feat_kernel(
     mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
                                preferred_element_type=jnp.float32)
 
-    def body(s, T):
-        z, ix, iy, iz = coords(s)
-        dbase = _base_of(iz, BZ, 1, D)
-        hbase = pl.multiple_of(_base_of(iy, BH, 8, D), 8)
-        xbase = pl.multiple_of(_base_of(ix, BX2, 16, D), 16)
-        wz = _tent(iz, dbase, iota_z, D)
-        wy = _tent(iy, hbase, iota_h, D)
-        wx2 = _tent(ix, xbase, iota_x2, D)
-        wx_full = _tent(ix, jnp.zeros((), jnp.int32), iota_w, D)
-        ohzy = mm(wz, expand_z) * mm(wy, expand_y)          # [R, BZ*BH]
+    def body(it, T):
+        s = it * spi
+        cs = [coords(s + k) for k in range(spi)]
+        ixs = [c[1] for c in cs]
+        iys = [c[2] for c in cs]
+        izs = [c[3] for c in cs]
+
+        def base_of(coords_, width, align):
+            m = coords_[0]
+            for c in coords_[1:]:
+                m = jnp.minimum(m, c)
+            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
+            if align > 1:
+                raw = (raw // align) * align
+            return jnp.clip(raw, 0, D - width)
+
+        dbase = base_of(izs, BZ, 1)
+        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
+        xbase = pl.multiple_of(base_of(ixs, BX2, 16), 16)
+        wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
+        wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
+        wx2 = cat([_tent(x, xbase, iota_x2, D) for x in ixs])
+        wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                       for x in ixs])
+        ohzy = mm(wz, expand_z) * mm(wy, expand_y)          # [spi*R, ZH]
         dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                           :].reshape(BZ * BH, D)
-        dens = jnp.sum(mm(ohzy, dbrick) * wx_full, axis=1)  # [R]
-        w = dens * T                                        # [R]
+        dens_s = jnp.sum(mm(ohzy, dbrick) * wx_full,
+                         axis=1, keepdims=True)             # [spi*R, 1]
+        ws = []
+        for k in range(spi):
+            dk = dens_s[k * R:(k + 1) * R]
+            ws.append(dk * T)
+            T = T * ((1.0 + EA_EPS) - dk)
+        w = cat(ws)                                         # [spi*R, 1]
 
-        d_row = w[:, None] * gF                             # [R, CC]
+        d_row = w * cat([gF] * spi)                         # [spi*R, CC]
         # replicate channels across the BX2 x-positions: d_row @ sel2^T
         drep = jax.lax.dot_general(
             d_row.astype(mm_dtype), sel2.astype(mm_dtype),
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [R, BX2*CC]
-        dm1 = drep * mm(wx2, expand_x2)                     # [R, BX2*CC]
+            preferred_element_type=jnp.float32)             # [spi*R, BX2*CC]
+        dm1 = drep * mm(wx2, expand_x2)                     # [spi*R, BX2*CC]
         dfb = _mmT(ohzy, dm1, mm_dtype)                     # [BZ*BH, BX2*CC]
 
         xoff = pl.multiple_of(xbase * CC, 128)
@@ -587,9 +643,9 @@ def _ray_march_bwd_feat_kernel(
                         pl.ds(xoff, BX2 * CC)]
         dfeat_ref[0, 0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
                   pl.ds(xoff, BX2 * CC)] = cur + dfb.reshape(BZ, BH, BX2 * CC)
-        return T * ((1.0 + EA_EPS) - dens)
+        return T
 
-    jax.lax.fori_loop(0, n_pts, body, jnp.ones((R,), jnp.float32))
+    jax.lax.fori_loop(0, n_pts // spi, body, jnp.ones((R, 1), jnp.float32))
 
 
 def render_volume_pallas_bwd(

@@ -94,11 +94,13 @@ def cmd_train(args) -> int:
     from forge_tpu.utils.exp import create_logger
     from forge_tpu.utils import checkpoint as CKPT
 
+    from forge_tpu.config import merge_config
+
     cfg = update_config(args.cfg)
     if args.epochs:
-        from forge_tpu.config import merge_config
-
         cfg = merge_config(cfg, {"train": {"end_epoch": args.epochs}})
+    if args.output_dir:
+        cfg = merge_config(cfg, {"output_dir": args.output_dir})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -254,6 +256,10 @@ def cmd_eval(args) -> int:
     from forge_tpu.utils import checkpoint as CKPT
 
     cfg = update_config(args.cfg)
+    if args.output_dir:
+        from forge_tpu.config import merge_config
+
+        cfg = merge_config(cfg, {"output_dir": args.output_dir})
     logger, output_dir = create_logger(cfg, args.cfg, phase="eval")
     model = build_model(cfg)
     ds = _build_dataset(cfg, "test", args.synthetic,
@@ -432,6 +438,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--family", default="full",
                     choices=["single", "full", "pose2d"])
     tp.add_argument("--synthetic", action="store_true")
+    tp.add_argument("--output-dir", default="",
+                    help="override cfg.output_dir")
     tp.add_argument("--synthetic-seqs", type=int, default=8,
                     help="train scenes for --synthetic (val = seqs/4)")
     tp.add_argument("--epochs", type=int, default=0)
@@ -448,6 +456,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--checkpoint", default="")
     ep.add_argument("--synthetic", action="store_true")
     ep.add_argument("--synthetic-seqs", type=int, default=8)
+    ep.add_argument("--output-dir", default="",
+                    help="override cfg.output_dir")
     ep.add_argument("--sync", action="store_true")
     ep.add_argument("--split-num", type=int, default=1)
     ep.add_argument("--exp-id", type=int, default=0)
