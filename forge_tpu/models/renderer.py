@@ -100,7 +100,11 @@ class VolRender(nn.Module):
         # cameras unchunked — the joint train step OOMs without this); map's
         # backward accumulates volume gradients across chunks.
         B = feature_3d.shape[0]
-        ck = self.render_chunk
+        # chunking exists to bound the XLA VJP's materialized corner-table
+        # gradient; the Pallas backend's fused backward accumulates gradients
+        # in VMEM and needs no chunking (the lax.map + checkpoint would only
+        # add re-dispatch overhead)
+        ck = 0 if self.backend == "pallas" else self.render_chunk
         if ck and B > ck and B % ck == 0:
             def _chunk(args):
                 return jax.checkpoint(_render)(*args)

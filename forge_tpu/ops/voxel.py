@@ -91,3 +91,63 @@ def rotate_voxel_grids(
     ).reshape(B, t - 1, D, H, W, C)
 
     return jnp.concatenate([voxels[:, 0:1], sampled], axis=1)
+
+
+CV2_TO_TORCH3D = jnp.diag(jnp.asarray([-1.0, -1.0, 1.0, 1.0]))
+"""Frame fix used by the every2 variant (reference: dataset/kubric.py:92-95)."""
+
+
+def _resample_all(voxels: jnp.ndarray, T: jnp.ndarray,
+                  volume_size: float) -> jnp.ndarray:
+    """Sample every view's volume at T_i @ grid (shared by the pose-variant
+    transforms below). voxels [B, t, D, H, W, C]; T [B, t, 4, 4]."""
+    B, t, D, H, W, C = voxels.shape
+    coords = volume_coord_grid(D, volume_size, jnp.float32)
+    cmax = coord_grid_max(D, volume_size)
+    rot = T[..., :3, :3].astype(jnp.float32)
+    trans = T[..., :3, 3].astype(jnp.float32)
+    p = (jnp.einsum("bvij,dhwj->bvdhwi", rot, coords)
+         + trans[:, :, None, None, None, :])
+    grid = (p / cmax).astype(jnp.float32)
+
+    from forge_tpu.ops.grid_sample_packed import grid_sample_3d_packed
+
+    return grid_sample_3d_packed(
+        voxels.reshape(B * t, D, H, W, C),
+        grid.reshape(B * t, D, H, W, 3),
+        align_corners=False,
+    ).reshape(B, t, D, H, W, C)
+
+
+def rotate_with_abs_pose(
+    voxels: jnp.ndarray,
+    cam_poses_cv2: jnp.ndarray,
+    canonical_pose_cv2: jnp.ndarray,
+    volume_size: float = 1.0,
+) -> jnp.ndarray:
+    """Resample ALL views into the object's canonical frame using absolute
+    camera poses: T_i = canonical_pose @ pose_i^-1 (reference:
+    models/rotate.py:159-212). No view passes through unchanged.
+
+    Divergence note: the reference additionally applies two refinement convs
+    here (models/rotate.py:208-210) that its main pipeline never trains or
+    calls; compose them outside if needed.
+    """
+    B, t = cam_poses_cv2.shape[:2]
+    T = canonical_pose_cv2.reshape(1, 1, 4, 4) @ se3_inverse(cam_poses_cv2)
+    return _resample_all(voxels, T, volume_size)
+
+
+def rotate_with_every2_pose(
+    voxels: jnp.ndarray,
+    cam_pose_every2_cv2: jnp.ndarray,
+    volume_size: float = 1.0,
+) -> jnp.ndarray:
+    """Resample view i's volume into view i+1's frame from the pairwise pose
+    T^c1_c1->c2 (reference: models/rotate.py:215-261): the sample transform
+    is (pose_every2 @ cv2_to_torch3d)^-1. See rotate_with_abs_pose for the
+    refinement-conv divergence note.
+    """
+    M = CV2_TO_TORCH3D.astype(cam_pose_every2_cv2.dtype)
+    T = se3_inverse(cam_pose_every2_cv2 @ M)
+    return _resample_all(voxels, T, volume_size)

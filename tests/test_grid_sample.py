@@ -112,3 +112,43 @@ def test_packed_grid_sample_parity():
     for a, b in zip(gr, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_rotate_pose_variants():
+    """transform_with_abs_pose / transform_with_every2_pose equivalents
+    (reference: models/rotate.py:159-261)."""
+    from forge_tpu.ops.voxel import (
+        rotate_voxel_grids, rotate_with_abs_pose, rotate_with_every2_pose,
+        CV2_TO_TORCH3D)
+    from forge_tpu.data import pose_np
+
+    rng = np.random.RandomState(6)
+    B, t, S, C = 1, 3, 8, 2
+    vox = jnp.asarray(rng.rand(B, t, S, S, S, C).astype(np.float32))
+    q = rng.randn(t, 4)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, t, 1, 1))
+    poses[0, :, :3, :3] = pose_np.quat2mat_transform(q)
+    poses[0, :, :3, 3] = rng.randn(t, 3) * 0.05
+    poses_j = jnp.asarray(poses)
+
+    # canonical_pose == pose_0 makes the abs variant agree with the main
+    # rotate on views 1..t-1 (view 0 differs by design: the main path passes
+    # it through while the variant resamples it, and align_corners=False
+    # means even an identity transform is not an exact resample — faithful
+    # to the reference's F.grid_sample defaults)
+    out_abs = rotate_with_abs_pose(vox, poses_j, poses_j[0, 0])
+    out_main = rotate_voxel_grids(vox, poses_j)
+    np.testing.assert_allclose(np.asarray(out_abs[:, 1:]),
+                               np.asarray(out_main[:, 1:]),
+                               atol=1e-5, rtol=1e-5)
+
+    # cross-check: every2 with P = inv(M @ T_abs) applies the same sample
+    # transform as the abs variant (T_every2 = inv(P @ M) = T_abs)
+    Minv = np.asarray(jnp.linalg.inv(CV2_TO_TORCH3D), np.float64)
+    T_abs = np.asarray(poses_j[0, 0])[None] @ pose_np.se3_inverse(
+        poses.reshape(t, 4, 4).astype(np.float64))
+    P = (pose_np.se3_inverse(T_abs) @ Minv)[None]          # [1, t, 4, 4]
+    out_e2 = rotate_with_every2_pose(vox, jnp.asarray(P.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(out_e2), np.asarray(out_abs),
+                               atol=1e-4, rtol=1e-4)
