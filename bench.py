@@ -144,6 +144,21 @@ def main():
                 _measure_train_step(best_backend) * 1e3, 1)
         except Exception as e:
             extra["train_step_ms"] = f"failed: {e}"[:120]
+        try:
+            # batched eval amortizes the per-call host/dispatch overhead
+            import __graft_entry__ as ge
+            from forge_tpu.models import build_model, TrainFlags
+
+            cfg = ge.flagship_config(backend=best_backend)
+            model = build_model(cfg)
+            sample = ge.synthetic_sample(cfg, b=4, t_all=10)
+            variables = ge.zeros_variables(model, sample)
+            fn = jax.jit(lambda s: model.apply(variables, s,
+                                               TrainFlags.none()))
+            dt4 = _time_best(fn, (sample,))
+            extra["objects_per_sec_b4"] = round(4.0 / dt4, 3)
+        except Exception as e:
+            extra["objects_per_sec_b4"] = f"failed: {e}"[:120]
 
     print(json.dumps({
         "metric": "5-view objects/sec (full forward, b=1, 10 renders @128^2x64)",
