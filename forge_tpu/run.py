@@ -66,16 +66,21 @@ def _parse_loads(load_specs: List[str]):
 
 
 def _init_variables(model, cfg, sample, seed):
+    """Jitted full-tree init on the DEFAULT device.
+
+    Jitted init on the TPU is one compile + one execution; forcing it onto
+    the build host's single CPU core costs 5-10 minutes of XLA CPU compile
+    per curriculum step. (The round-1 warning about minutes of init applied
+    to EAGER init's per-op dispatch over the relay tunnel, not to jit.)
+    """
     import jax
     from forge_tpu.models.forge import TrainFlags
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = jax.jit(
-            lambda s: model.init({"params": jax.random.PRNGKey(seed)}, s,
-                                 method=model.init_all)
-        )(jax.device_put(sample, cpu))
-    return variables
+    variables = jax.jit(
+        lambda s: model.init({"params": jax.random.PRNGKey(seed)}, s,
+                             method=model.init_all)
+    )(sample)
+    return jax.device_get(variables)
 
 
 def cmd_train(args) -> int:
