@@ -223,3 +223,37 @@ def test_refine_and_harness_end_to_end(tmp_path):
         opt_state,
     )
     assert np.isfinite(float(rm2["loss_last"]))
+
+
+def test_readout_lpips_unit_label(tmp_path):
+    """results.txt with the lpips_unit column parses into its own field
+    (honest-LPIPS labeling; evaluate.py lpips_label)."""
+    from forge_tpu.eval.readout import parse_results, summarize
+
+    p = tmp_path / "results.txt"
+    p.write_text(
+        "idx 0, seen True, before, psnr 20.0, ssim 0.8, lpips_unit 0.01, "
+        "rot 12.0, trans 0.5, depth 0.1\n"
+        "idx 0, seen True, after, psnr 22.0, ssim 0.85, lpips_unit 0.005, "
+        "rot 6.0, trans 0.2, depth 0.05\n")
+    buckets = parse_results(str(p))
+    assert buckets["seen_before"]["lpips_unit"] == [0.01]
+    assert buckets["seen_before"]["lpips"] == []
+    stats = summarize(str(p), print_fn=lambda *a: None)
+    assert abs(stats["seen_after"]["lpips_unit_mean"] - 0.005) < 1e-9
+    assert "lpips_mean" not in stats["seen_after"]
+
+
+def test_poses_cv2_from_vec():
+    """Pose-plot helper: identity rel pose rows give the canonical camera
+    pose (reference: models/model.py:74-81)."""
+    from forge_tpu.eval.evaluate import _poses_cv2_from_vec
+
+    vec = np.zeros((4, 7), np.float32)
+    vec[:, 0] = 1.0  # identity quaternions, zero translation
+    poses = _poses_cv2_from_vec(vec, camera_z=1.5)
+    assert poses.shape == (5, 4, 4)
+    canon = np.eye(4, dtype=np.float32)
+    canon[2, 3] = -1.5
+    for i in range(5):
+        np.testing.assert_allclose(poses[i], canon, atol=1e-6)
