@@ -27,6 +27,8 @@ else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
 
 ENV = dict(os.environ)
+# share rendered synthetic scenes across the 6 per-step processes
+ENV.setdefault("FORGE_SYNTH_CACHE", "/tmp/forge_synth_cache")
 
 
 def run(tag, args):

@@ -100,12 +100,33 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
             rgb = rgb + (1.0 - alpha)  # white background composite
         return rgb.astype(np.float32), alpha.astype(np.float32), depth.astype(np.float32)
 
+    def _disk_key(self, idx: int) -> str:
+        cfg = self.cfg
+        return (f"{self.split}_{idx}_s{cfg.seed}_i{cfg.dataset.img_size}"
+                f"_n{cfg.render.n_pts_per_ray}_z{cfg.render.camera_z}"
+                f"_g{self.grid}_f{self.num_frames()}"
+                f"_m{int(cfg.dataset.mask_images)}.npz")
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         # scenes and views are deterministic per idx, so caching is exact;
         # train scenes are cached too — regenerating costs a full 10-view
-        # render per access, which would dominate a training epoch.
+        # render per access, which would dominate a training epoch. An
+        # optional on-disk cache (FORGE_SYNTH_CACHE=dir) shares scenes
+        # across processes — the curriculum runs 6 train processes over the
+        # same synthetic data.
         if idx in self._cache:
             return self._cache[idx]
+        import os
+
+        cache_dir = os.environ.get("FORGE_SYNTH_CACHE", "")
+        if cache_dir:
+            path = os.path.join(cache_dir, self._disk_key(idx))
+            if os.path.exists(path):
+                with np.load(path, allow_pickle=False) as z:
+                    sample = dict(z)
+                sample["seq_name"] = self.seq_names[idx]
+                self._cache[idx] = sample
+                return sample
         cfg = self.cfg
         rng = np.random.RandomState(cfg.seed * 1000 + idx
                                     + (0 if self.split == "train" else 77777))
@@ -135,5 +156,12 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
             seq_name=self.seq_names[idx],
             seen_flag=(1.0 if self.split == "test" else None),
         )
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            arrays = {k: v for k, v in sample.items()
+                      if isinstance(v, np.ndarray)}
+            tmp = path + f".tmp{os.getpid()}.npz"  # .npz suffix: savez
+            np.savez(tmp, **arrays)                # won't rename it
+            os.replace(tmp, path)
         self._cache[idx] = sample
         return sample

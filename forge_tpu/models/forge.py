@@ -104,6 +104,9 @@ class FORGE(nn.Module):
             max_depth=r.max_depth,
             k_size=r.k_size,
             backend=r.backend,
+            # GT-pose training treats cameras as loss constants -> skip the
+            # camera-gradient part of the pallas fused backward
+            camera_grads=not self.cfg.train.use_gt_pose,
             ray_parallel=r.ray_parallel,
             name="render",
             **kw,

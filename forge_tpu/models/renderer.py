@@ -38,6 +38,9 @@ class VolRender(nn.Module):
     max_depth: float = 2.0
     k_size: int = 5
     backend: str = "xla"
+    camera_grads: bool = True  # False: GT-pose training (cameras are
+                               # constants); skips the camera-gradient part
+                               # of the pallas fused backward
     ray_parallel: bool = False
     render_chunk: int = 5   # cameras per lax.map chunk (0 = render all at once)
     dtype: Optional[Dtype] = None
@@ -93,6 +96,7 @@ class VolRender(nn.Module):
                 max_depth=self.max_depth,
                 volume_size=self.volume_size,
                 backend=self.backend,
+                camera_grads=self.camera_grads,
             )
 
         # Chunk cameras through lax.map: the render backward materializes an

@@ -138,8 +138,14 @@ def render_volume(
     max_depth: float,
     volume_size: float,
     backend: str = "xla",
+    camera_grads: bool = True,
 ) -> jnp.ndarray:
-    """Backend dispatcher; see `render_volume_xla` for the contract."""
+    """Backend dispatcher; see `render_volume_xla` for the contract.
+
+    camera_grads=False (pallas backend only) skips the camera-gradient part
+    of the fused backward — valid only when (K, R, t) are loss constants
+    (GT-pose training).
+    """
     if backend == "packed":
         from forge_tpu.ops.ray_march_packed import render_volume_packed
 
@@ -148,9 +154,12 @@ def render_volume(
             min_depth, max_depth, volume_size,
         )
     if backend == "pallas":
-        from forge_tpu.ops.ray_march_pallas import render_volume_pallas_grad
+        from forge_tpu.ops.ray_march_pallas import (
+            render_volume_pallas_grad, render_volume_pallas_grad_nocam)
 
-        return render_volume_pallas_grad(
+        fn = (render_volume_pallas_grad if camera_grads
+              else render_volume_pallas_grad_nocam)
+        return fn(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
         )

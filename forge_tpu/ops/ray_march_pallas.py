@@ -764,42 +764,49 @@ def render_volume_pallas_bwd(
     return d_feat, d_dens, dK, dR, dt
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
-)
-def render_volume_pallas_grad(
-    features, densities, K, R, t,
-    image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-):
+def _make_rvp_grad(ray_grads: bool):
     """Differentiable Pallas renderer: fused forward AND fused backward.
 
     The backward is the transposed tent-matmul formulation (kernels above),
     replacing the round-1 XLA-VJP fallback that was scatter-bound (training
     steps and the 5000-iter refinement loop differentiate through the
     renderer: models/volume_render.py:63, kubric_eval.py:450-527).
+
+    ray_grads=False skips the derivative-tent camera-gradient contractions
+    (+~140 ms per 10-camera backward) and returns zero (dK, dR, dt) — valid
+    ONLY when the cameras are constants w.r.t. the loss (GT-pose training,
+    kubric_train_pose_3D.py step 1.1); pose-predicting/refining graphs need
+    the full backward.
     """
-    return render_volume_pallas(
-        features, densities, K, R, t, image_size, n_pts_per_ray,
-        min_depth, max_depth, volume_size,
-    )
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+    def rvp(features, densities, K, R, t,
+            image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
+        return render_volume_pallas(
+            features, densities, K, R, t, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size,
+        )
+
+    def fwd(features, densities, K, R, t,
+            image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
+        out = render_volume_pallas(
+            features, densities, K, R, t, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size,
+        )
+        return out, (features, densities, K, R, t)
+
+    def bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+            res, g):
+        features, densities, K, R, t = res
+        return render_volume_pallas_bwd(
+            features, densities, K, R, t, g,
+            image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+            ray_grads=ray_grads,
+        )
+
+    rvp.defvjp(fwd, bwd)
+    return rvp
 
 
-def _rvp_fwd(features, densities, K, R, t,
-             image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
-    out = render_volume_pallas(
-        features, densities, K, R, t, image_size, n_pts_per_ray,
-        min_depth, max_depth, volume_size,
-    )
-    return out, (features, densities, K, R, t)
-
-
-def _rvp_bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-             res, g):
-    features, densities, K, R, t = res
-    return render_volume_pallas_bwd(
-        features, densities, K, R, t, g,
-        image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-    )
-
-
-render_volume_pallas_grad.defvjp(_rvp_fwd, _rvp_bwd)
+render_volume_pallas_grad = _make_rvp_grad(True)
+render_volume_pallas_grad_nocam = _make_rvp_grad(False)

@@ -200,7 +200,8 @@ def cmd_train(args) -> int:
     )
     validate = make_validator(
         model, cfg, use_gt_pose=cfg.train.use_gt_pose,
-        pose_source="3d" if args.family == "single" else "2d3d")
+        pose_source={"single": "3d", "pose2d": "2d",
+                     "full": "2d3d"}[args.family])
     best = CKPT.BestTracker(output_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 

@@ -39,24 +39,38 @@ def train_epoch(
     n_batches = len(loader)
 
     loader.set_epoch(epoch)
+    t_data = t_put = t_disp = 0.0
+    t0 = time.perf_counter()
     for i, batch in enumerate(loader):
+        t1 = time.perf_counter()
+        t_data += t1 - t0
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if mesh is not None:
             from forge_tpu.parallel import shard_batch
 
-            arrays = shard_batch(arrays, mesh)
+            arrays = shard_batch(arrays, mesh)  # device_put with sharding
+        else:
+            arrays = jax.device_put(arrays)
+        jax.block_until_ready(arrays)
+        t2 = time.perf_counter()
+        t_put += t2 - t1
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, arrays, step_rng, epoch)
 
         if (i + 1) % cfg.print_freq == 0 or i == n_batches - 1:
-            host = {k: float(v) for k, v in metrics.items()}
+            host = {k: float(v) for k, v in metrics.items()}  # sync point
             meters.update(host, n=arrays["images"].shape[0])
             dt = timer.step(i)
             log(
                 f"epoch {epoch} [{i + 1}/{n_batches}] "
                 + " ".join(f"{k}={v:.4f}" for k, v in host.items())
-                + f" ({dt:.2f}s since last log)"
+                + f" ({dt:.2f}s since last log; data {t_data:.1f}s"
+                + f" h2d {t_put:.1f}s dispatch {t_disp:.1f}s)"
             )
+            t_data = t_put = t_disp = 0.0
+        t3 = time.perf_counter()
+        t_disp += t3 - t2
+        t0 = t3
         if vis_fn is not None and cfg.vis_freq > 0 and (i + 1) % cfg.vis_freq == 0:
             vis_fn(state, batch, epoch, i)
 

@@ -31,7 +31,9 @@ def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False,
 
     pose_source: '2d3d' uses the fused head (validate, reference:
     kubric_validation.py:299); '3d' uses the 3D estimator alone
-    (validate_poseEstimator3D, reference: kubric_validation.py:15).
+    (validate_poseEstimator3D, reference: kubric_validation.py:15); '2d'
+    validates the standalone 2D estimator — pose errors only, no rendering
+    (reference: scripts/kubric_trainer_pose2D.py:103-167).
     """
     renderer = make_eval_renderer(model)
 
@@ -48,7 +50,18 @@ def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False,
             return feats, jnp.concatenate([quat, pose[..., 4:]], -1), conf
         return model.apply(v, x, method=fn)
 
-    encode = jax.jit(_encode_2d3d if pose_source == "2d3d" else _encode_3d)
+    def _encode_2d(v, x):
+        def fn(m, clips):
+            pred = m.encoder_traj_2d(clips, False)
+            quat = pred[..., :4]
+            quat = quat / jnp.maximum(
+                jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+            return None, jnp.concatenate([quat, pred[..., 4:]], -1), None
+        return model.apply(v, x, method=fn)
+
+    render_views = pose_source != "2d"
+    encode = jax.jit({"2d3d": _encode_2d3d, "3d": _encode_3d,
+                      "2d": _encode_2d}[pose_source])
     encode_only = jax.jit(
         lambda v, x: model.apply(
             v, x, False, method=lambda m, c, t: m.encode_views(c, t))
@@ -86,21 +99,23 @@ def make_validator(model: FORGE, cfg: Config, use_gt_pose: bool = False,
                 gt_q = np.asarray(mat2quat(jnp.asarray(gt_rel.reshape(-1, 4, 4))))
                 rot_err, trans_err = M.pose_errors_capped(pose_vec, gt_q)
 
-            nvs_extr = jnp.asarray(arrays["cam_extrinsics_cv2_canonicalized"][:, 5:])
-            nvs_K = jnp.asarray(arrays["K_cv2"][:, 5:])
-            imgs, masks, _ = renderer(
-                variables, features_raw, jnp.asarray(pose_vec),
-                jnp.asarray(arrays["K_cv2"][:, :5]), nvs_extr, nvs_K,
-            )
-            imgs = np.asarray(imgs)
-            gt_imgs = np.asarray(arrays["images"][:, 5:])[0]
             psnr = ssim = 0.0
-            for i in range(gt_imgs.shape[0]):
-                p, s = M.compute_img_metric(imgs[i], gt_imgs[i])
-                psnr += p
-                ssim += s
-            psnr /= gt_imgs.shape[0]
-            ssim /= gt_imgs.shape[0]
+            if render_views:
+                nvs_extr = jnp.asarray(
+                    arrays["cam_extrinsics_cv2_canonicalized"][:, 5:])
+                nvs_K = jnp.asarray(arrays["K_cv2"][:, 5:])
+                imgs, masks, _ = renderer(
+                    variables, features_raw, jnp.asarray(pose_vec),
+                    jnp.asarray(arrays["K_cv2"][:, :5]), nvs_extr, nvs_K,
+                )
+                imgs = np.asarray(imgs)
+                gt_imgs = np.asarray(arrays["images"][:, 5:])[0]
+                for i in range(gt_imgs.shape[0]):
+                    p, s = M.compute_img_metric(imgs[i], gt_imgs[i])
+                    psnr += p
+                    ssim += s
+                psnr /= gt_imgs.shape[0]
+                ssim /= gt_imgs.shape[0]
 
             key = "seen" if seen else "unseen"
             bk = buckets.setdefault(
