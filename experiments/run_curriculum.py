@@ -29,6 +29,10 @@ else:
 ENV = dict(os.environ)
 # share rendered synthetic scenes across the 6 per-step processes
 ENV.setdefault("FORGE_SYNTH_CACHE", "/tmp/forge_synth_cache")
+# persistent XLA compile cache: init/train/val programs recur across the
+# per-step processes (a flagship init compile alone is ~6 min on the relay)
+ENV.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+ENV.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def run(tag, args):

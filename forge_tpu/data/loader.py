@@ -121,3 +121,57 @@ class Loader:
             # consumer abandoned the iterator (early break / GC): unblock and
             # retire the worker instead of leaking it on a full queue
             abandoned.set()
+
+
+class DeviceCachedLoader(Loader):
+    """Loader variant that keeps every sample resident on the device and
+    stacks batches ON DEVICE.
+
+    The hosted relay's host->device tunnel moves ~7 MB/s; re-uploading a
+    ~40 MB batch every step dominated training epochs. For small synthetic
+    datasets (32 scenes x 10 views at 256^2 is ~420 MB, far under HBM) each
+    scene is device_put ONCE and per-epoch shuffled batches are assembled by
+    a jitted stack — zero per-step host->device traffic.
+
+    Yields dicts of device arrays (plus 'seq_name' string lists); works with
+    the standard trainer (shard_batch on device arrays is a device-local
+    relayout).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._device_samples = None
+        self._names = None
+        self._stack = None
+
+    def _ensure_device(self):
+        if self._device_samples is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        samples = []
+        names = []
+        for i in range(len(self.dataset)):
+            s = self.dataset[i]
+            names.append(s.get("seq_name", str(i)))
+            samples.append(jax.device_put(
+                {k: v for k, v in s.items() if isinstance(v, np.ndarray)}))
+        self._device_samples = samples
+        self._names = names
+        self._stack = jax.jit(
+            lambda *ss: jax.tree.map(lambda *xs: jnp.stack(xs), *ss))
+
+    def __iter__(self):
+        self._ensure_device()
+        indices = self._indices()
+        batches = [
+            indices[i: i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        for b in batches:
+            out = dict(self._stack(*[self._device_samples[i] for i in b]))
+            out["seq_name"] = [self._names[i] for i in b]
+            yield out

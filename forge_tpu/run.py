@@ -116,7 +116,16 @@ def cmd_train(args) -> int:
     train_ds = _build_dataset(cfg, "train", args.synthetic,
                               args.synthetic_seqs)
     val_ds = _build_dataset(cfg, "test", args.synthetic, args.synthetic_seqs)
-    loader = Loader(train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.seed)
+    if args.synthetic and len(train_ds) <= 256:
+        # small synthetic sets live on-device: the relay tunnel is ~7 MB/s,
+        # so per-step batch uploads would dominate the epoch
+        from forge_tpu.data import DeviceCachedLoader
+
+        loader = DeviceCachedLoader(train_ds, cfg.train.batch_size,
+                                    shuffle=True, seed=cfg.seed)
+    else:
+        loader = Loader(train_ds, cfg.train.batch_size, shuffle=True,
+                        seed=cfg.seed)
     val_loader = Loader(val_ds, 1, drop_last=False)
 
     sample0 = next(iter(Loader(train_ds, 1)))
