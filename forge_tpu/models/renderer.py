@@ -104,11 +104,16 @@ class VolRender(nn.Module):
         # cameras unchunked — the joint train step OOMs without this); map's
         # backward accumulates volume gradients across chunks.
         B = feature_3d.shape[0]
-        # chunking exists to bound the XLA VJP's materialized corner-table
-        # gradient; the Pallas backend's fused backward accumulates gradients
-        # in VMEM and needs no chunking (the lax.map + checkpoint would only
-        # add re-dispatch overhead)
-        ck = 0 if self.backend == "pallas" else self.render_chunk
+        ck = self.render_chunk
+        if self.backend == "pallas":
+            # the fused kernel runs at full speed up to ~10 cameras per call
+            # but degrades nonlinearly beyond (B=40 measured ~10x slower PER
+            # CAMERA; B=10 control healthy — see OPTIMIZATION.md round 2).
+            # Chunk to the largest divisor of B that is <= 10.
+            if B > 10:
+                ck = max(d for d in range(1, 11) if B % d == 0)
+            else:
+                ck = 0
         if ck and B > ck and B % ck == 0:
             def _chunk(args):
                 return jax.checkpoint(_render)(*args)
