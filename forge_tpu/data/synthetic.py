@@ -72,16 +72,25 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
         self.seq_names = [f"synthetic/{split}/{i:04d}" for i in range(n_seqs)]
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
+    _render_jit = None
+
     def _render(self, dens, feat, poses, K):
         import jax
         import jax.numpy as jnp
-        from forge_tpu.geometry.rotations import se3_inverse
+        from forge_tpu.data import pose_np
         from forge_tpu.ops.ray_march import render_volume_xla
 
         cfg = self.cfg
         s = cfg.dataset.img_size
-        extr = np.asarray(se3_inverse(jnp.asarray(poses)))
-        out = np.asarray(render_volume_xla(
+        if SyntheticVoxelDataset._render_jit is None:
+            # jitted: eager dispatch over the TPU relay tunnel costs minutes
+            # per scene (hundreds of per-op round trips)
+            SyntheticVoxelDataset._render_jit = jax.jit(
+                render_volume_xla,
+                static_argnames=("image_size", "n_pts_per_ray", "min_depth",
+                                 "max_depth", "volume_size"))
+        extr = pose_np.se3_inverse(poses.astype(np.float64)).astype(np.float32)
+        out = np.asarray(SyntheticVoxelDataset._render_jit(
             jnp.asarray(np.broadcast_to(feat[None], (poses.shape[0],) + feat.shape)),
             jnp.asarray(np.broadcast_to(dens[None], (poses.shape[0],) + dens.shape)),
             jnp.asarray(np.broadcast_to(K[None], (poses.shape[0], 3, 3))),
