@@ -116,9 +116,13 @@ def cmd_train(args) -> int:
     train_ds = _build_dataset(cfg, "train", args.synthetic,
                               args.synthetic_seqs)
     val_ds = _build_dataset(cfg, "test", args.synthetic, args.synthetic_seqs)
-    if args.synthetic and len(train_ds) <= 256:
-        # small synthetic sets live on-device: the relay tunnel is ~7 MB/s,
-        # so per-step batch uploads would dominate the epoch
+    if (args.synthetic and len(train_ds) <= 256
+            and os.environ.get("FORGE_DEVICE_LOADER", "") == "1"):
+        # opt-in: small synthetic sets live on-device (the relay tunnel is
+        # ~7 MB/s, so per-step uploads cost seconds) — but resident scenes
+        # compete with the train step's transient arena; a flagship b=4 step
+        # OOMed with 32 resident 256^2 scenes, so the host loader is the
+        # default.
         from forge_tpu.data import DeviceCachedLoader
 
         loader = DeviceCachedLoader(train_ds, cfg.train.batch_size,
