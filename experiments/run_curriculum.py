@@ -55,8 +55,13 @@ def cpt(cfg_name):
     raise FileNotFoundError(d)
 
 
+# batch 1: a composed fuse+decode+render backward at b=4 (40 cameras) hits
+# an unexplained 20x slowdown (see OPTIMIZATION.md "composed-graph cliff");
+# at b=1 (10 cameras) the same step measures ~1.1 s. Device-resident scenes
+# are safe at the b=1 arena size.
+ENV.setdefault("FORGE_DEVICE_LOADER", "1")
 common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "2",
-          "--output-dir", OUT]
+          "--batch-size", "1", "--output-dir", OUT]
 
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",

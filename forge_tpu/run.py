@@ -106,6 +106,8 @@ def cmd_train(args) -> int:
         cfg = merge_config(cfg, {"train": {"end_epoch": args.epochs}})
     if args.output_dir:
         cfg = merge_config(cfg, {"output_dir": args.output_dir})
+    if args.batch_size:
+        cfg = merge_config(cfg, {"train": {"batch_size": args.batch_size}})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -462,6 +464,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--synthetic-seqs", type=int, default=8,
                     help="train scenes for --synthetic (val = seqs/4)")
     tp.add_argument("--epochs", type=int, default=0)
+    tp.add_argument("--batch-size", type=int, default=0,
+                    help="override cfg.train.batch_size")
     tp.add_argument("--val-every", type=int, default=10)
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
