@@ -60,8 +60,12 @@ def cpt(cfg_name):
 # at b=1 (10 cameras) the same step measures ~1.1 s. Device-resident scenes
 # are safe at the b=1 arena size.
 ENV.setdefault("FORGE_DEVICE_LOADER", "1")
+# 128^2 images (renders 64^2, volumes 32^3): the 256^2 composed backward
+# hits the cliff even at b=1 (~10 s/step); at 128^2 everything is 4-8x
+# smaller and stays under it. Metrics are a reduced-resolution
+# demonstration of the curriculum, documented in METRICS.md.
 common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "2",
-          "--batch-size", "1", "--output-dir", OUT]
+          "--batch-size", "1", "--img-size", "128", "--output-dir", OUT]
 
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
@@ -110,6 +114,7 @@ joint_cpt = cpt("joint_pose_2d3d")
 # eval harness with refinement on the synthetic test split
 run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
              "--synthetic", "--synthetic-seqs", str(SEQS),
+             "--img-size", "128",
              "--output-dir", OUT,
              "--checkpoint", joint_cpt,
              "--render-checkpoint", gt_cpt,

@@ -108,6 +108,8 @@ def cmd_train(args) -> int:
         cfg = merge_config(cfg, {"output_dir": args.output_dir})
     if args.batch_size:
         cfg = merge_config(cfg, {"train": {"batch_size": args.batch_size}})
+    if args.img_size:
+        cfg = merge_config(cfg, {"dataset": {"img_size": args.img_size}})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -277,10 +279,13 @@ def cmd_eval(args) -> int:
     from forge_tpu.utils import checkpoint as CKPT
 
     cfg = update_config(args.cfg)
-    if args.output_dir:
+    if args.output_dir or args.img_size:
         from forge_tpu.config import merge_config
 
-        cfg = merge_config(cfg, {"output_dir": args.output_dir})
+        if args.output_dir:
+            cfg = merge_config(cfg, {"output_dir": args.output_dir})
+        if args.img_size:
+            cfg = merge_config(cfg, {"dataset": {"img_size": args.img_size}})
     logger, output_dir = create_logger(cfg, args.cfg, phase="eval")
     model = build_model(cfg)
     ds = _build_dataset(cfg, "test", args.synthetic,
@@ -466,6 +471,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--epochs", type=int, default=0)
     tp.add_argument("--batch-size", type=int, default=0,
                     help="override cfg.train.batch_size")
+    tp.add_argument("--img-size", type=int, default=0,
+                    help="override cfg.dataset.img_size")
     tp.add_argument("--val-every", type=int, default=10)
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
@@ -481,6 +488,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--synthetic-seqs", type=int, default=8)
     ep.add_argument("--output-dir", default="",
                     help="override cfg.output_dir")
+    ep.add_argument("--img-size", type=int, default=0,
+                    help="override cfg.dataset.img_size")
     ep.add_argument("--sync", action="store_true")
     ep.add_argument("--split-num", type=int, default=1)
     ep.add_argument("--exp-id", type=int, default=0)
