@@ -343,13 +343,8 @@ class FORGE(nn.Module):
         else:
             camE, K = cam_extr, camK
         n = camE.shape[1]
-        S, C2 = feat.shape[1], feat.shape[-1]
-        feat_all = jnp.broadcast_to(feat[:, None], (b, n, S, S, S, C2)).reshape(
-            b * n, S, S, S, C2)
-        dens_all = jnp.broadcast_to(dens[:, None], (b, n, S, S, S, 1)).reshape(
-            b * n, S, S, S, 1)
         return self.render_views(
-            feat_all, dens_all,
+            feat, dens,
             camE.reshape(b * n, 4, 4), K.reshape(b * n, 3, 3),
             flags, render_depth=render_depth,
         )
@@ -425,18 +420,10 @@ class FORGE(nn.Module):
         feats_t = chose_selected(feats_t, idxs)
         feat, dens = self.fuse_and_decode(feats_t, flags)
 
-        # broadcast the fused volume to all t_all target views
-        C2 = feat.shape[-1]
-        S = feat.shape[1]
-        feat_all = jnp.broadcast_to(
-            feat[:, None], (b, t_all, S, S, S, C2)
-        ).reshape(b * t_all, S, S, S, C2)
-        dens_all = jnp.broadcast_to(
-            dens[:, None], (b, t_all, S, S, S, 1)
-        ).reshape(b * t_all, S, S, S, 1)
-
+        # one fused volume per object, rendered by its t_all target cameras
+        # (grouping resolved inside VolRender — no [b*t_all] volume broadcast)
         imgs, masks, origin_proj = self.render_views(
-            feat_all, dens_all,
+            feat, dens,
             camE_all.reshape(b * t_all, 4, 4),
             camK_all.reshape(b * t_all, 3, 3),
             flags, return_origin_proj=True,
@@ -503,27 +490,37 @@ class FORGE(nn.Module):
         # full fusion
         feat_mv, dens_mv = self.fuse_and_decode(feats_t, flags)
 
-        S = feat_mv.shape[1]
-        C2 = feat_mv.shape[-1]
+        # Three grouped marches — slots 0-2 render the 2-view fusion through
+        # cameras 0-2, slots 3-4 the 3-view fusion through cameras 3-4, slots
+        # 5-9 the full fusion through all t cameras (reference :118-133) —
+        # then ONE decode over all 2t raw images so the BatchNorm batch
+        # matches the reference's single conv_rgb forward. Grouping keeps the
+        # per-slot volume broadcast out of HBM (see VolRender.march).
+        camK_t = sample["K_cv2"][:, :t]
 
-        def rep(x, n):
-            return jnp.broadcast_to(
-                x[:, None], (b, n) + x.shape[1:]
-            )
+        def cam_dict(extr, Km):
+            n = extr.shape[1]
+            e = extr.reshape(b * n, 4, 4)
+            return {"R": e[..., :3, :3], "T": e[..., :3, 3],
+                    "K": Km.reshape(b * n, 3, 3)}
 
-        feats_all = jnp.concatenate(
-            [rep(feat_2v, 3), rep(feat_3v, 2), rep(feat_mv, t)], axis=1
-        ).reshape(b * 2 * t, S, S, S, C2)
-        dens_all = jnp.concatenate(
-            [rep(dens_2v, 3), rep(dens_3v, 2), rep(dens_mv, t)], axis=1
-        ).reshape(b * 2 * t, S, S, S, 1)
+        raw_2v = self.render.march(
+            cam_dict(cam_extr[:, :3], camK_t[:, :3]), feat_2v, dens_2v)
+        raw_3v = self.render.march(
+            cam_dict(cam_extr[:, 3:t], camK_t[:, 3:t]), feat_3v, dens_3v)
+        raw_mv = self.render.march(
+            cam_dict(cam_extr, camK_t), feat_mv, dens_mv)
+        half = raw_mv.shape[1:]
+        raw = jnp.concatenate(
+            [raw_2v.reshape((b, 3) + half), raw_3v.reshape((b, t - 3) + half),
+             raw_mv.reshape((b, t) + half)], axis=1,
+        ).reshape((b * 2 * t,) + half)
 
-        imgs, masks, origin_proj = self.render_views(
-            feats_all, dens_all,
-            camE_2t.reshape(b * 2 * t, 4, 4),
-            camK_2t.reshape(b * 2 * t, 3, 3),
-            flags, return_origin_proj=True,
-        )
+        cams_2t = {"R": camE_2t.reshape(b * 2 * t, 4, 4)[..., :3, :3],
+                   "T": camE_2t.reshape(b * 2 * t, 4, 4)[..., :3, 3],
+                   "K": camK_2t.reshape(b * 2 * t, 3, 3)}
+        imgs, masks, origin_proj = self.render.finish(
+            raw, cams_2t, flags.conv_rgb, return_origin_proj=True)
         origin_proj = 2.0 * origin_proj / cfg.dataset.img_size
 
         if cfg.train.use_gt_pose:

@@ -66,23 +66,37 @@ class VolRender(nn.Module):
         x = self.conv_rgb_conv2(x)
         return jax.nn.relu(x)  # reference applies F.relu outside conv_rgb (:73)
 
-    def __call__(
+    def march(
         self,
         camera_params: Dict[str, jnp.ndarray],
         feature_3d: jnp.ndarray,
         density_3d: jnp.ndarray,
-        train: bool = False,
-        render_depth: bool = False,
-        return_origin_proj: bool = False,
-    ):
-        """camera_params: {'R': [B,3,3], 'T': [B,3], 'K': [B,3,3] full-res}.
+    ) -> jnp.ndarray:
+        """Ray-march only: raw half-res feature images [B, S/2, S/2, C+2].
 
-        feature_3d: [B, D, H, W, 16]; density_3d: [B, D, H, W, 1].
-        Returns (imgs [B,S,S,3], masks [B,S,S,1][, depth][, origin_proj]).
+        camera_params: {'R': [B,3,3], 'T': [B,3], 'K': [B,3,3] full-res}.
+
+        feature_3d: [V, D, H, W, 16]; density_3d: [V, D, H, W, 1], where
+        V == B (one volume per camera) or V divides B (each volume rendered
+        by its B // V consecutive cameras — the model's broadcast-to-targets
+        pattern, models/model.py:117-143; the pallas backend resolves the
+        grouping in-kernel so the broadcast volumes and their stacked
+        gradients never materialize).
         """
         half = self.img_size // 2
         K = halve_intrinsics(camera_params["K"])
         R, T = camera_params["R"], camera_params["T"]
+
+        B = K.shape[0]
+        V = feature_3d.shape[0]
+        assert B % V == 0, (B, V)
+        cpv = B // V
+        if cpv > 1 and self.backend != "pallas":
+            # gather backends take per-camera volumes; materialize the
+            # broadcast outside the chunk loop (legacy behavior)
+            feature_3d = jnp.repeat(feature_3d, cpv, axis=0)
+            density_3d = jnp.repeat(density_3d, cpv, axis=0)
+            cpv = 1
 
         # Rematerialize the ray march: the sampled tensor is
         # [B, half, half, n_pts, C] (~7.5 GB at the reference training batch)
@@ -97,24 +111,26 @@ class VolRender(nn.Module):
                 volume_size=self.volume_size,
                 backend=self.backend,
                 camera_grads=self.camera_grads,
+                cams_per_volume=cpv,
             )
 
         # Chunk cameras through lax.map: the render backward materializes an
         # f32 gradient of the packed corner table per chunk (~5.4 GB for 20
         # cameras unchunked — the joint train step OOMs without this); map's
         # backward accumulates volume gradients across chunks.
-        B = feature_3d.shape[0]
-        ck = self.render_chunk
-        if self.backend == "pallas":
-            # the fused kernel runs at full speed up to ~10 cameras per call
-            # but degrades nonlinearly beyond (B=40 measured ~10x slower PER
-            # CAMERA; B=10 control healthy — see OPTIMIZATION.md round 2).
-            # Chunk to the largest divisor of B that is <= 10.
-            if B > 10:
-                ck = max(d for d in range(1, 11) if B % d == 0)
-            else:
-                ck = 0
-        if ck and B > ck and B % ck == 0:
+        if cpv > 1:
+            # grouped pallas render: one kernel launch, no chunking (the
+            # grid is sequential; VMEM holds one volume at a time), no remat
+            # needed (the fused kernel's VJP residuals are just its inputs)
+            ck = 0
+        elif self.backend == "pallas":
+            # ungrouped: chunk to bound the per-call gradient stack
+            ck = 0 if B <= 10 else max(d for d in range(1, 11) if B % d == 0)
+        else:
+            ck = self.render_chunk
+        if cpv > 1:
+            raw = _render(feature_3d, density_3d, K, R, T)
+        elif ck and B > ck and B % ck == 0:
             def _chunk(args):
                 return jax.checkpoint(_render)(*args)
 
@@ -142,7 +158,38 @@ class VolRender(nn.Module):
             # tiny batches (init traces at b=1) stay legal.
             raw = jax.lax.with_sharding_constraint(
                 raw, P(None, "ray", None, None))
-        C = feature_3d.shape[-1]
+        return raw
+
+    def __call__(
+        self,
+        camera_params: Dict[str, jnp.ndarray],
+        feature_3d: jnp.ndarray,
+        density_3d: jnp.ndarray,
+        train: bool = False,
+        render_depth: bool = False,
+        return_origin_proj: bool = False,
+    ):
+        """March + decode. See `march` for volume/camera grouping semantics.
+
+        Returns (imgs [B,S,S,3], masks [B,S,S,1][, depth][, origin_proj]).
+        """
+        raw = self.march(camera_params, feature_3d, density_3d)
+        return self.finish(raw, camera_params, train,
+                           render_depth=render_depth,
+                           return_origin_proj=return_origin_proj)
+
+    def finish(
+        self,
+        raw: jnp.ndarray,
+        camera_params: Dict[str, jnp.ndarray],
+        train: bool,
+        render_depth: bool = False,
+        return_origin_proj: bool = False,
+    ):
+        """Decode raw marched feature images (possibly concatenated from
+        several `march` calls — one decode keeps the BatchNorm batch identical
+        to the reference's single VolRender forward over all renders)."""
+        C = raw.shape[-1] - 2
         feat_img = raw[..., :C]
         sil = raw[..., C : C + 1]
         depth = raw[..., C + 1 : C + 2]
@@ -154,6 +201,8 @@ class VolRender(nn.Module):
         if render_depth:
             outs.append(jax.image.resize(depth, full, method="bilinear"))
         if return_origin_proj:
+            K = halve_intrinsics(camera_params["K"])
+            R, T = camera_params["R"], camera_params["T"]
             origin = jnp.zeros((1, 3), dtype=K.dtype)
             outs.append(project_points_screen(origin, K, R, T)[:, 0, :])  # [B,2]
         return tuple(outs)

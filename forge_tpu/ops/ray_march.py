@@ -9,8 +9,8 @@ README.md:26-33). Two backends:
     The correctness reference and CPU/test path.
   - `render_volume_packed` (ops/ray_march_packed.py): corner-packed gather —
     one gathered row per ray-sample instead of eight.
-  (A fused Pallas kernel is planned; the hosted TPU relay in this build
-  environment cannot compile Pallas kernels as of round 1.)
+  - `render_volume_pallas` (ops/ray_march_pallas.py): the production fused
+    brick-tile kernel with a fused backward and volume/camera grouping.
 
 Semantics replicated exactly:
   - rays through pixel centers at the render resolution, z-depth parameterized,
@@ -139,13 +139,24 @@ def render_volume(
     volume_size: float,
     backend: str = "xla",
     camera_grads: bool = True,
+    cams_per_volume: int = 1,
 ) -> jnp.ndarray:
     """Backend dispatcher; see `render_volume_xla` for the contract.
 
     camera_grads=False (pallas backend only) skips the camera-gradient part
     of the fused backward — valid only when (K, R, t) are loss constants
     (GT-pose training).
+
+    cams_per_volume=n: features/densities carry B // n volumes, each rendered
+    by its n consecutive cameras (the model broadcasts one fused volume to
+    all target views, models/model.py:117-143). The pallas backend resolves
+    the grouping in its BlockSpec index maps — the per-camera volume
+    broadcast and its stacked gradient never exist; other backends fall back
+    to an explicit repeat.
     """
+    if cams_per_volume > 1 and backend != "pallas":
+        features = jnp.repeat(features, cams_per_volume, axis=0)
+        densities = jnp.repeat(densities, cams_per_volume, axis=0)
     if backend == "packed":
         from forge_tpu.ops.ray_march_packed import render_volume_packed
 
@@ -161,7 +172,7 @@ def render_volume(
               else render_volume_pallas_grad_nocam)
         return fn(
             features, densities, K, R, t, image_size, n_pts_per_ray,
-            min_depth, max_depth, volume_size,
+            min_depth, max_depth, volume_size, cams_per_volume,
         )
     if backend == "xla":
         return render_volume_xla(

@@ -211,11 +211,20 @@ def render_volume_pallas(
     volume_size: float,
     interpret: bool = None,
     vol_dtype=jnp.bfloat16,
+    cams_per_volume: int = 1,
 ) -> jnp.ndarray:
     """Same contract as render_volume_xla.
 
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU test
     runs) and the compiled Mosaic kernel on TPU.
+
+    cams_per_volume=n renders n consecutive cameras per volume: features and
+    densities carry V = B // n volumes and camera c reads volume c // n via
+    the BlockSpec index map — the [B, ...] per-camera volume broadcast (and,
+    in the backward, its stacked gradient) never materializes in HBM, and the
+    VMEM-resident volume block is fetched once per n cameras instead of per
+    camera. This is the model's render pattern: one fused volume rendered
+    from t_all target views (models/model.py:117-143).
 
     Constraints: cubic volume with D == H == W <= 128 and >= brick sizes;
     image_size % TILE == 0; channel count C with (8 * C) % 128 == 0 (e.g. the
@@ -223,12 +232,15 @@ def render_volume_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, D, H, W, C0 = features.shape
+    V, D, H, W, C0 = features.shape
+    cpv = cams_per_volume
+    B = V * cpv
+    assert K.shape[0] == B, (K.shape, V, cpv)
     assert D == H == W and D >= max(BZ, BH, BX) and W <= 128
     assert image_size % TILE == 0
     assert (8 * C0) % 128 == 0, "feature channels must align lanes (e.g. 16)"
 
-    feat_vol = features.astype(vol_dtype).reshape(B, D, H, W * C0)
+    feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
 
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
@@ -255,11 +267,12 @@ def render_volume_pallas(
             pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
             # single-buffered: the volume block only changes with the camera
-            # index; double buffering it would blow the 16MB VMEM budget
-            pl.BlockSpec((1, D, H, W * C0), lambda b, i, j: (b, 0, 0, 0),
+            # group; double buffering it would blow the 16MB VMEM budget
+            pl.BlockSpec((1, D, H, W * C0),
+                         lambda b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
         ],
@@ -393,7 +406,7 @@ def _ray_march_bwd_dens_kernel(
     dray_ref,     # VMEM out [1, TILE, TILE, 8] f32 (d_origin | d_dirs)
     satp_ref,     # VMEM scratch [n_pts, 8, R]: rows sigma, A, T, P
     *,
-    n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads,
+    n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads, cpv,
 ):
     R = TILE * TILE
     b = pl.program_id(0)
@@ -419,7 +432,10 @@ def _ray_march_bwd_dens_kernel(
     cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
     gF_rep = cat([gF] * spi)                               # [spi*R, C]
 
-    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    # the gradient volume block is shared by the cpv cameras of this group:
+    # zero it on the group's first program only, accumulate across the rest
+    @pl.when(jnp.logical_and(b % cpv == 0,
+                             jnp.logical_and(ti == 0, tj == 0)))
     def _():
         ddens_ref[...] = jnp.zeros(ddens_ref.shape, ddens_ref.dtype)
 
@@ -564,10 +580,13 @@ def _ray_march_bwd_feat_kernel(
     g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
     dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
     *,
-    n_pts, min_depth, max_depth, cmax, D, mm_dtype,
+    n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv,
 ):
+    # grid is (NC, B, nt, nt) — channel-chunk-major so that for grouped
+    # rendering (cpv > 1) the output block index (b // cpv, nc) changes in
+    # contiguous runs and is never revisited after being flushed
     R = TILE * TILE
-    b = pl.program_id(0)
+    b = pl.program_id(1)
     ti = pl.program_id(2)
     tj = pl.program_id(3)
     coords, _ = _geometry(
@@ -586,7 +605,8 @@ def _ray_march_bwd_feat_kernel(
     spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
     cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
 
-    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    @pl.when(jnp.logical_and(b % cpv == 0,
+                             jnp.logical_and(ti == 0, tj == 0)))
     def _():
         dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
 
@@ -655,16 +675,26 @@ def render_volume_pallas_bwd(
     vol_dtype=jnp.bfloat16,
     mm_dtype=None,
     ray_grads: bool = True,
+    cams_per_volume: int = 1,
 ):
-    """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt)."""
+    """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt).
+
+    With cams_per_volume=n, features/densities hold V = B // n volumes and
+    the gradient volumes accumulate IN VMEM across each volume's n cameras
+    (sequential grid) — d_feat/d_dens come out [V, ...] directly, with no
+    per-camera gradient stack in HBM and no cross-camera reduce.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, D, H, W, C0 = features.shape
+    V, D, H, W, C0 = features.shape
+    cpv = cams_per_volume
+    B = V * cpv
+    assert K.shape[0] == B, (K.shape, V, cpv)
     assert D == H == W and BX2 <= W <= 128 and C0 % CC == 0
     NC = C0 // CC
     mm_dtype = vol_dtype if mm_dtype is None else mm_dtype
 
-    feat_vol = features.astype(vol_dtype).reshape(B, D, H, W * C0)
+    feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
     dirs_pad = jnp.pad(dirs.astype(jnp.float32),
@@ -677,7 +707,7 @@ def render_volume_pallas_bwd(
         _ray_march_bwd_dens_kernel,
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D, C=C0,
-        mm_dtype=mm_dtype, ray_grads=ray_grads,
+        mm_dtype=mm_dtype, ray_grads=ray_grads, cpv=cpv,
     )
     d_dens, d_ray = pl.pallas_call(
         kern_a,
@@ -686,10 +716,11 @@ def render_volume_pallas_bwd(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W * C0), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, D, H, W * C0),
+                         lambda b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, TILE, C0 + 2),
@@ -697,13 +728,13 @@ def render_volume_pallas_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, TILE, 8), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((V, D, H, W), jnp.float32),
             jax.ShapeDtypeStruct((B, image_size, image_size, 8), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n_pts_per_ray, 8, TILE * TILE),
@@ -720,34 +751,34 @@ def render_volume_pallas_bwd(
         _ray_march_bwd_feat_kernel,
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D,
-        mm_dtype=mm_dtype,
+        mm_dtype=mm_dtype, cpv=cpv,
     )
     d_feat_chunks = pl.pallas_call(
         kern_b,
-        grid=(B, NC, nt, nt),
+        grid=(NC, B, nt, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE, TILE, 128),
-                         lambda b, n, i, j: (b, i, j, 0),
+                         lambda n, b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda b, n, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, D, H, W), lambda n, b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TILE, TILE, CC),
-                         lambda b, n, i, j: (b, n, i, j, 0),
+                         lambda n, b, i, j: (b, n, i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, D, H, W * CC), lambda b, n, i, j: (b, n, 0, 0, 0),
+            (1, 1, D, H, W * CC), lambda n, b, i, j: (b // cpv, n, 0, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, NC, D, H, W * CC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, NC, D, H, W * CC), jnp.float32),
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs_pad, dens_vol, g_chunks)
 
-    d_feat = d_feat_chunks.reshape(B, NC, D, H, W, CC)
+    d_feat = d_feat_chunks.reshape(V, NC, D, H, W, CC)
     d_feat = jnp.transpose(d_feat, (0, 2, 3, 4, 1, 5)).reshape(
-        B, D, H, W, C0).astype(features.dtype)
+        V, D, H, W, C0).astype(features.dtype)
     d_dens = d_dens[..., None].astype(densities.dtype)
 
     if ray_grads:
@@ -779,29 +810,34 @@ def _make_rvp_grad(ray_grads: bool):
     the full backward.
     """
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
     def rvp(features, densities, K, R, t,
-            image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
+            image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+            cams_per_volume):
         return render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
+            cams_per_volume=cams_per_volume,
         )
 
     def fwd(features, densities, K, R, t,
-            image_size, n_pts_per_ray, min_depth, max_depth, volume_size):
+            image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
+            cams_per_volume):
         out = render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
+            cams_per_volume=cams_per_volume,
         )
         return out, (features, densities, K, R, t)
 
     def bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-            res, g):
+            cams_per_volume, res, g):
         features, densities, K, R, t = res
         return render_volume_pallas_bwd(
             features, densities, K, R, t, g,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             ray_grads=ray_grads,
+            cams_per_volume=cams_per_volume,
         )
 
     rvp.defvjp(fwd, bwd)

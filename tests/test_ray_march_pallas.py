@@ -111,7 +111,8 @@ def test_pallas_grad_wrapper_interpret():
     img, n = kw[0], kw[1]
 
     def loss_p(f, d, tt):
-        return jnp.sum(rp.render_volume_pallas_grad(f, d, K, R, tt, *kw) ** 2)
+        return jnp.sum(
+            rp.render_volume_pallas_grad(f, d, K, R, tt, *kw, 1) ** 2)
 
     def loss_x(f, d, tt):
         return jnp.sum(render_volume_xla(f, d, K, R, tt,
@@ -125,3 +126,43 @@ def test_pallas_grad_wrapper_interpret():
         a, b = np.asarray(a), np.asarray(b)
         denom = np.abs(b).max() + 1e-6
         assert np.abs(a - b).max() / denom < 0.05, np.abs(a - b).max()
+
+
+def test_pallas_grouped_cams_per_volume():
+    """cams_per_volume grouping == explicit broadcast, forward and backward
+    (the model renders one fused volume from t_all cameras,
+    models/model.py:117-143)."""
+    from forge_tpu.ops import ray_march_pallas as rp
+
+    feats, dens, K, R, t, kw = _grad_case(seed=11, B=1)
+    img, n = kw[0], kw[1]
+    V, cpv = 2, 3
+    rng = np.random.RandomState(13)
+    S = feats.shape[1]
+    featsV = jnp.asarray(rng.rand(V, S, S, S, 16).astype(np.float32))
+    densV = jnp.asarray((rng.rand(V, S, S, S, 1) * 0.4).astype(np.float32))
+    B = V * cpv
+    Kb = jnp.broadcast_to(K[0], (B, 3, 3)).copy()
+    Rb = jnp.broadcast_to(R[0], (B, 3, 3)).copy()
+    tb = jnp.asarray(
+        np.asarray(t)[0] + 0.01 * rng.randn(B, 3).astype(np.float32))
+
+    def loss_grouped(f, d, tt):
+        out = rp.render_volume_pallas_grad(f, d, Kb, Rb, tt, *kw, cpv)
+        return jnp.sum(out ** 2), out
+
+    def loss_bcast(f, d, tt):
+        fb = jnp.repeat(f, cpv, axis=0)
+        db = jnp.repeat(d, cpv, axis=0)
+        out = rp.render_volume_pallas_grad(fb, db, Kb, Rb, tt, *kw, 1)
+        return jnp.sum(out ** 2), out
+
+    (lg, outg), gg = jax.value_and_grad(
+        loss_grouped, argnums=(0, 1, 2), has_aux=True)(featsV, densV, tb)
+    (lb, outb), gb = jax.value_and_grad(
+        loss_bcast, argnums=(0, 1, 2), has_aux=True)(featsV, densV, tb)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(outb),
+                               atol=1e-5, rtol=1e-5)
+    for name, a, b in zip(("d_feat", "d_dens", "d_t"), gg, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
