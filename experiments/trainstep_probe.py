@@ -20,6 +20,9 @@ from _timing import chip_time, perturb_tree
 def main():
     cfg = update_config("configs/kubric/gt_pose.yaml")
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if len(sys.argv) > 2:  # render backend override: xla | packed | pallas
+        cfg = merge_config(cfg, {"render": {"backend": sys.argv[2]}})
+    print(f"b={b} backend={cfg.render.backend}", flush=True)
     model = build_model(cfg)
     step_def = get_curriculum_step("single", cfg.train.parameter)
     sample = ge.synthetic_sample(cfg, b=b, t_all=10)

@@ -58,10 +58,13 @@ class RenderConfig:
     camera_z: float = 0.6
     camera_focal: float = 250
     k_size: int = 5
-    # forge_tpu extension: renderer backend: 'xla' (gather-based reference),
-    # 'packed' (corner-packed single-gather rows), 'pallas' (reserved; the
-    # hosted TPU relay cannot compile Pallas kernels as of round 1)
-    backend: str = "xla"
+    # forge_tpu extension: renderer backend: 'auto' (pallas fused kernel on
+    # TPU, gather-based 'xla' reference path elsewhere), or an explicit
+    # 'xla' | 'packed' (corner-packed single-gather rows) | 'pallas'.
+    # Round-3 root cause: with 'xla' the 40-camera train-step backward holds
+    # ~9 rematted bf16[12,1048576,17] sampled tensors live and exceeds HBM
+    # (16.8G > 15.75G); the fused pallas backward never materializes them.
+    backend: str = "auto"
     # forge_tpu extension: shard the ray grid over the mesh 'ray' axis
     # (sequence parallelism for batch-starved rendering, e.g. batch-1
     # test-time pose optimization across a v5e-8)

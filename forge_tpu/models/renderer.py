@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from forge_tpu.nn.layers import TorchConv, TorchConvTranspose, TorchBatchNorm, leaky_relu
-from forge_tpu.ops.ray_march import render_volume
+from forge_tpu.ops.ray_march import render_volume, resolve_backend
 from forge_tpu.geometry.cameras import project_points_screen
 
 Dtype = Any
@@ -86,12 +86,13 @@ class VolRender(nn.Module):
         half = self.img_size // 2
         K = halve_intrinsics(camera_params["K"])
         R, T = camera_params["R"], camera_params["T"]
+        backend = resolve_backend(self.backend)
 
         B = K.shape[0]
         V = feature_3d.shape[0]
         assert B % V == 0, (B, V)
         cpv = B // V
-        if cpv > 1 and self.backend != "pallas":
+        if cpv > 1 and backend != "pallas":
             # gather backends take per-camera volumes; materialize the
             # broadcast outside the chunk loop (legacy behavior)
             feature_3d = jnp.repeat(feature_3d, cpv, axis=0)
@@ -109,7 +110,7 @@ class VolRender(nn.Module):
                 min_depth=self.min_depth,
                 max_depth=self.max_depth,
                 volume_size=self.volume_size,
-                backend=self.backend,
+                backend=backend,
                 camera_grads=self.camera_grads,
                 cams_per_volume=cpv,
             )
@@ -123,7 +124,7 @@ class VolRender(nn.Module):
             # grid is sequential; VMEM holds one volume at a time), no remat
             # needed (the fused kernel's VJP residuals are just its inputs)
             ck = 0
-        elif self.backend == "pallas":
+        elif backend == "pallas":
             # ungrouped: chunk to bound the per-call gradient stack
             ck = 0 if B <= 10 else max(d for d in range(1, 11) if B % d == 0)
         else:

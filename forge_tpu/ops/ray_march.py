@@ -126,6 +126,22 @@ def render_volume_xla(
     return emission_absorption(dens_s, feat_s, lengths)
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> the fused pallas kernel on TPU, the XLA gather path
+    elsewhere (CPU tests; pallas-interpret would be orders slower)."""
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def pallas_supports(features_shape, image_size: int) -> bool:
+    """Shape constraints of the fused kernel (ray_march_pallas.py): cubic
+    volume, lane-aligned channel count, tile-divisible image."""
+    _, D, H, W, C = features_shape
+    return (D == H == W and 32 <= W <= 128
+            and (8 * C) % 128 == 0 and image_size % 8 == 0)
+
+
 def render_volume(
     features: jnp.ndarray,
     densities: jnp.ndarray,
@@ -154,6 +170,11 @@ def render_volume(
     broadcast and its stacked gradient never exist; other backends fall back
     to an explicit repeat.
     """
+    if backend == "auto":
+        backend = resolve_backend(backend)
+        if backend == "pallas" and not pallas_supports(
+                features.shape, image_size):
+            backend = "xla"   # kernel shape constraints unmet (e.g. C != 16)
     if cams_per_volume > 1 and backend != "pallas":
         features = jnp.repeat(features, cams_per_volume, axis=0)
         densities = jnp.repeat(densities, cams_per_volume, axis=0)

@@ -15,6 +15,7 @@ from flax import traverse_util
 import __graft_entry__ as ge
 from forge_tpu.models import FORGE
 from forge_tpu.utils.convert_forge import forge_key_map, convert_forge_checkpoint
+import pytest
 
 
 def _synth_torch_sd(variables):
@@ -76,6 +77,7 @@ def _synth_torch_sd(variables):
     return sd
 
 
+@pytest.mark.slow
 def test_forge_converter_covers_full_tree():
     cfg = ge.tiny_config()
     model = FORGE(cfg)

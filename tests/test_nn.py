@@ -88,6 +88,7 @@ def test_max_pool_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resnet_shapes_and_stride_surgery():
     from forge_tpu.nn.resnet import ResNet50Features
 

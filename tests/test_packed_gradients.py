@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 from forge_tpu.ops.ray_march import render_volume_xla
 from forge_tpu.ops.ray_march_packed import render_volume_packed
+import pytest
 
 
+@pytest.mark.slow
 def test_packed_gradients_match_xla():
     rng = np.random.RandomState(11)
     S, img, B = 8, 6, 1

@@ -13,6 +13,7 @@ from forge_tpu.ops.ray_march import render_volume_xla
 from forge_tpu.ops.ray_march_pallas import render_volume_pallas
 import forge_tpu.data.synthetic as syn
 from forge_tpu.data import pose_np
+import pytest
 
 
 def test_pallas_interpret_parity():
@@ -128,6 +129,7 @@ def test_pallas_grad_wrapper_interpret():
         assert np.abs(a - b).max() / denom < 0.05, np.abs(a - b).max()
 
 
+@pytest.mark.slow
 def test_pallas_grouped_cams_per_volume():
     """cams_per_volume grouping == explicit broadcast, forward and backward
     (the model renders one fused volume from t_all cameras,

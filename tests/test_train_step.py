@@ -41,6 +41,7 @@ def _flat(params):
     return traverse_util.flatten_dict(params, sep="/")
 
 
+@pytest.mark.slow
 def test_train_step_joint_updates_only_trainable():
     cfg, model, step_def, sample, state, tx = _setup("joint", "full")
     train_step = make_train_step(model, cfg, step_def, tx)
@@ -66,6 +67,7 @@ def test_train_step_joint_updates_only_trainable():
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_train_step_gt_pose_single_on_mesh():
     cfg, model, step_def, sample, state, tx = _setup("all", "single", b=8, t_all=5)
     mesh = make_mesh(8)
@@ -87,5 +89,6 @@ def test_train_step_gt_pose_single_on_mesh():
     assert changed
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     ge.dryrun_multichip(8)
