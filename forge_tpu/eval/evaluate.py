@@ -17,6 +17,7 @@ like the reference's 8-process eval scripts (kubric_eval.py:56-57).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from itertools import combinations
@@ -197,8 +198,33 @@ def evaluate_all(model, variables, sample, return_dict, cfg,
     return best, results
 
 
-def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config) -> np.ndarray:
-    """Synchronize the 5x4 pairwise pose predictions (reference: kubric_eval.py:95-145)."""
+def _jitted_sync(pairs, N, squares, center_first):
+    """Jit-compiled f32 power-iteration sync specialized to a static pair set
+    (BASELINE north star: camera synchronization as jit-compiled loops).
+    Cached so repeated instances reuse the compiled program."""
+    import jax
+
+    def f(ps_vals, conf_vals):
+        Ps = dict(zip(pairs, ps_vals))
+        conf = dict(zip(pairs, conf_vals))
+        return S.camera_synchronization_jax(
+            Ps, conf, N=N, squares=squares, center_first_camera=center_first)
+
+    return jax.jit(f)
+
+
+_jitted_sync = functools.lru_cache(maxsize=8)(_jitted_sync)
+
+
+def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config,
+              backend: str = "host") -> np.ndarray:
+    """Synchronize the 5x4 pairwise pose predictions (reference: kubric_eval.py:95-145).
+
+    backend 'host': float64 numpy power iteration (reference semantics,
+    utils/sync_utils.py:76-191). 'jit': the compiled f32 variant with
+    compensated renormalization (eval/sync.py:115-195; accuracy vs f64
+    tested in tests/test_eval.py).
+    """
     t = len(return_dict)
     pose_dict = {}
     best_pairs = []
@@ -231,9 +257,16 @@ def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config) -> np.ndar
         else:
             Ps[pair] = pose_dict[pair[::-1]][None]
 
-    Ps_sync = S.camera_synchronization(
-        Ps, confidence, N=t, squares=10, center_first_camera=True
-    )
+    if backend == "jit":
+        pairs = tuple(sorted(Ps))
+        fn = _jitted_sync(pairs, t, 10, True)
+        Ps_sync = np.asarray(fn(
+            tuple(Ps[p].astype(np.float32) for p in pairs),
+            tuple(confidence[p].astype(np.float32) for p in pairs)))
+    else:
+        Ps_sync = S.camera_synchronization(
+            Ps, confidence, N=t, squares=10, center_first_camera=True
+        )
     poses = pose_np.se3_inverse(Ps_sync[0])
     poses = poses[return_dict[str(best_canonical_id)]["permutation"]]
     rel = pose_np.get_relative_pose(poses[0], poses[1:])
@@ -331,7 +364,8 @@ def run_optimization(
     lpips_builder: Optional[Callable[[], Callable]] = None,
     lpips_label: str = "lpips",
     split_num: int = 1, exp_id: int = 0,
-    use_sync: bool = False, iter_num: int = 1000,
+    use_sync: bool = False, sync_backend: str = "host",
+    iter_num: int = 1000,
     max_instances: Optional[int] = None,
     visualize: bool = False,
     visualize_all: bool = False,
@@ -430,7 +464,8 @@ def run_optimization(
                     model, variables, vr, sample, cfg, batch_idx, seen,
                     encode, renderer, refiner, n_refine_chunks, lpips_fn,
                     use_sync, visualize, output_dir, outfile, pose_log,
-                    lpips_label=lpips_label, visualize_all=visualize_all)
+                    lpips_label=lpips_label, visualize_all=visualize_all,
+                    sync_backend=sync_backend)
                 break
             except (KeyboardInterrupt, SystemExit):
                 raise
@@ -452,7 +487,8 @@ def run_optimization(
 def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
                   encode, renderer, refiner, n_refine_chunks, lpips_fn,
                   use_sync, visualize, output_dir, outfile, pose_log,
-                  lpips_label: str = "lpips", visualize_all: bool = False):
+                  lpips_label: str = "lpips", visualize_all: bool = False,
+                  sync_backend: str = "host"):
     """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
 
     Split out of run_optimization so a device failure anywhere in the
@@ -479,7 +515,7 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
 
     if use_sync:
         try:
-            pose_sync = sync_pose(rd, best, cfg)
+            pose_sync = sync_pose(rd, best, cfg, backend=sync_backend)
             gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4)[1:]
             gt_q = np.asarray(mat2quat(jnp.asarray(gt)))
             rot_sync, _ = M.pose_errors_capped(pose_sync, gt_q)

@@ -346,7 +346,9 @@ def cmd_eval(args) -> int:
         model, variables, loader, cfg, output_dir,
         lpips_builder=lpips_builder, lpips_label=lpips_label,
         split_num=args.split_num, exp_id=args.exp_id,
-        use_sync=args.sync, iter_num=args.iter_num,
+        use_sync=args.sync or args.sync_jit,
+        sync_backend="jit" if args.sync_jit else "host",
+        iter_num=args.iter_num,
         max_instances=args.max_instances,
         visualize=args.visualize,
         visualize_all=args.visualize_all,
@@ -491,6 +493,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--img-size", type=int, default=0,
                     help="override cfg.dataset.img_size")
     ep.add_argument("--sync", action="store_true")
+    ep.add_argument("--sync-jit", action="store_true",
+                    help="run --sync through the jit-compiled f32 "
+                         "synchronization instead of host float64")
     ep.add_argument("--split-num", type=int, default=1)
     ep.add_argument("--exp-id", type=int, default=0)
     ep.add_argument("--iter-num", type=int, default=1000)

@@ -257,3 +257,46 @@ def test_poses_cv2_from_vec():
     canon[2, 3] = -1.5
     for i in range(5):
         np.testing.assert_allclose(poses[i], canon, atol=1e-6)
+
+
+def test_sync_pose_jit_backend_matches_host():
+    """sync_pose(backend='jit') routes through the compiled f32 sync and
+    agrees with the host f64 path on a realistic 5-permutation return_dict
+    (reference flow: kubric_eval.py:95-145)."""
+    from forge_tpu.eval.evaluate import sync_pose
+    from forge_tpu.data import pose_np
+    from forge_tpu.config import Config
+
+    rng = np.random.RandomState(21)
+    t = 5
+    # ground-truth camera poses with small per-edge noise
+    gt = []
+    for i in range(t):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        P = np.eye(4)
+        P[:3, :3] = pose_np.quat2mat_transform(q[None])[0]
+        P[:3, 3] = rng.randn(3) * 0.3
+        gt.append(P)
+
+    from forge_tpu.geometry.rotations import mat2quat
+
+    def rel_q(i, j):
+        rel = np.linalg.inv(gt[i]) @ gt[j]
+        rel[:3, 3] += rng.randn(3) * 0.01
+        q = np.asarray(mat2quat(jnp.asarray(rel[None], jnp.float32)))[0]
+        return np.concatenate([q, rel[:3, 3]])
+
+    rd = {}
+    for k in range(t):
+        perm = [k] + [i for i in range(t) if i != k]
+        rd[str(k)] = {
+            "permutation": np.asarray(perm),
+            "poses_cam": np.stack([rel_q(k, j) for j in perm[1:]]),
+        }
+
+    host = sync_pose(rd, "0", Config(), backend="host")
+    jit = sync_pose(rd, "0", Config(), backend="jit")
+    # same chirality convention for quaternion sign
+    sign = np.sign(np.sum(host[..., :1] * jit[..., :1], axis=-1, keepdims=True))
+    np.testing.assert_allclose(jit * sign, host * np.abs(sign), atol=5e-3)
