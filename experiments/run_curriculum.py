@@ -5,6 +5,12 @@ Appendix A of SURVEY.md) through the run.py CLI with --load surgery between
 steps, then runs the eval harness with test-time refinement. Writes per-step
 validation metrics to METRICS.md.
 
+Round 3: runs at the FLAGSHIP configuration — 256^2 images, each stage's own
+reference batch size (4/5/8/5/5/4) and learning rate — which the round-2
+composed-graph cliff forced down to b=1 @128^2. The cliff was the XLA gather
+renderer (see OPTIMIZATION.md); with render.backend auto->pallas the b=4
+GT-pose step is ~2 s.
+
 Usage:  python experiments/run_curriculum.py [outdir] [--scale small|full]
 """
 
@@ -20,9 +26,12 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/curriculum"
 SCALE = "small" if "--scale" not in sys.argv else sys.argv[
     sys.argv.index("--scale") + 1]
 
-# epochs per step; synthetic scenes
+# epochs per step; synthetic scenes. Pose-estimator stages are cheap (no
+# renders) and need the most steps to converge toward the reference's ~10
+# degree checkpoints; render stages cost ~2 s/step at b=4.
 if SCALE == "full":
-    SEQS, EPOCHS = 64, dict(gt=40, p3d=20, p2d=20, head=10, pose=10, joint=20)
+    SEQS = 128
+    EPOCHS = dict(gt=40, p3d=200, p2d=200, head=60, pose=60, joint=30)
 else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
 
@@ -33,6 +42,12 @@ ENV.setdefault("FORGE_SYNTH_CACHE", "/tmp/forge_synth_cache")
 # per-step processes (a flagship init compile alone is ~6 min on the relay)
 ENV.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 ENV.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# device-resident scenes: the relay host link is ~10 MB/s, so per-step batch
+# uploads (42 MB at b=4) would dominate the 2 s step. Round 2's OOM with
+# resident scenes was the XLA gather renderer's HBM pressure (OPTIMIZATION.md
+# composed-graph cliff), which the pallas backend removes; 128 scenes at
+# 256^2 are ~1.7 GB of the 15.75 GB HBM.
+ENV.setdefault("FORGE_DEVICE_LOADER", "1")
 
 
 def run(tag, args):
@@ -55,17 +70,14 @@ def cpt(cfg_name):
     raise FileNotFoundError(d)
 
 
-# batch 1: a composed fuse+decode+render backward at b=4 (40 cameras) hits
-# an unexplained 20x slowdown (see OPTIMIZATION.md "composed-graph cliff");
-# at b=1 (10 cameras) the same step measures ~1.1 s. Device-resident scenes
-# are safe at the b=1 arena size.
-ENV.setdefault("FORGE_DEVICE_LOADER", "1")
-# 128^2 images (renders 64^2, volumes 32^3): the 256^2 composed backward
-# hits the cliff even at b=1 (~10 s/step); at 128^2 everything is 4-8x
-# smaller and stays under it. Metrics are a reduced-resolution
-# demonstration of the curriculum, documented in METRICS.md.
-common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "2",
-          "--batch-size", "1", "--img-size", "128", "--output-dir", OUT]
+# Flagship scale: no img-size/batch-size overrides — each stage runs its
+# reference configuration (render.backend resolves to the fused pallas
+# kernel on TPU). Train-time visualization limited to once per 200 iters
+# (each vis is a host matplotlib round trip).
+common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "10",
+          "--vis-freq", "200", "--output-dir", OUT]
+if SCALE != "full":
+    common += ["--batch-size", "1", "--img-size", "128", "--val-every", "2"]
 
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
@@ -112,12 +124,12 @@ run("3.3 joint", ["train", "--cfg", "configs/kubric/joint_pose_2d3d.yaml",
 joint_cpt = cpt("joint_pose_2d3d")
 
 # eval harness with refinement on the synthetic test split
+eval_img = [] if SCALE == "full" else ["--img-size", "128"]
 run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
-             "--synthetic", "--synthetic-seqs", str(SEQS),
-             "--img-size", "128",
+             "--synthetic", "--synthetic-seqs", str(SEQS)] + eval_img + [
              "--output-dir", OUT,
              "--checkpoint", joint_cpt,
              "--render-checkpoint", gt_cpt,
-             "--iter-num", "200", "--max-instances", "4"])
+             "--iter-num", "500", "--max-instances", "8"])
 
 print("\ncurriculum complete; checkpoints under", OUT, flush=True)

@@ -156,6 +156,7 @@ def render_volume(
     backend: str = "xla",
     camera_grads: bool = True,
     cams_per_volume: int = 1,
+    skip_empty: bool = True,
 ) -> jnp.ndarray:
     """Backend dispatcher; see `render_volume_xla` for the contract.
 
@@ -169,6 +170,13 @@ def render_volume(
     the grouping in its BlockSpec index maps — the per-camera volume
     broadcast and its stacked gradient never exist; other backends fall back
     to an explicit repeat.
+
+    skip_empty (pallas backend): skip all-zero density bricks in the march
+    and its backward. Exact for sigma >= 0 volumes (EA treats densities as
+    per-sample opacities in [0, 1], and this model's density head is
+    ReLU-/clamp-gated) up to dropped (1 + 1e-10) transmittance factors;
+    gradients skipped in empty space land only on exactly-zero voxels whose
+    upstream ReLU gradient is zero. Set False for signed density fields.
     """
     if backend == "auto":
         backend = resolve_backend(backend)
@@ -193,7 +201,7 @@ def render_volume(
               else render_volume_pallas_grad_nocam)
         return fn(
             features, densities, K, R, t, image_size, n_pts_per_ray,
-            min_depth, max_depth, volume_size, cams_per_volume,
+            min_depth, max_depth, volume_size, cams_per_volume, skip_empty,
         )
     if backend == "xla":
         return render_volume_xla(

@@ -48,9 +48,27 @@ from forge_tpu.ops.ray_march import EA_EPS
 from forge_tpu.ops.voxel import coord_grid_max
 
 TILE = 8        # pixels per tile side; rays per program = TILE * TILE
-BZ = 20         # brick voxels along D (leading dim: no alignment constraint)
+BZ = 20         # brick voxels along D at small D (leading dim: no alignment
+                # constraint). At D >= 64 the flagship envelope needs only
+                # ~15.5 z-planes (check_brick_coverage), and 16 is -14% fwd /
+                # -12% fwd+bwd (experiments/brick_probe.py); small volumes
+                # (tests at D=32 with wide-FOV cameras) need the full 20.
 BH = 24         # brick voxels along H (sublane: base aligned to 8)
 BX = 24         # brick voxels along W (lane via *C: base aligned to 8)
+SPI = 4         # depth samples per loop iteration sharing one brick (the
+                # brick sizes must cover the tile frustum footprint PLUS the
+                # (SPI-1)-sample depth advance; see _spi)
+
+
+def _spi(n_pts: int) -> int:
+    return max(k for k in (SPI, 2, 1) if n_pts % k == 0)
+
+
+def _bz(D: int) -> int:
+    """z-brick size: 16 covers the flagship D=64 envelope with margin;
+    smaller volumes keep the conservative 20 (their tile frusta span more
+    voxels relative to D)."""
+    return 16 if D >= 64 else BZ
 
 
 def _ray_march_kernel(
@@ -67,8 +85,10 @@ def _ray_march_kernel(
     D: int,
     C: int,
     mm_dtype=jnp.float32,
+    skip_empty: bool = True,
 ):
     R = TILE * TILE
+    bz = _bz(D)
     dirs = dirs_ref[0].reshape(R, 128)
     b = pl.program_id(0)
     ox = origin_ref[b, 0]
@@ -82,7 +102,7 @@ def _ray_march_kernel(
     def iota_f(n):
         return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
 
-    iota_z = iota_f(BZ)
+    iota_z = iota_f(bz)
     iota_h = iota_f(BH)
     iota_x = iota_f(BX)
     iota_w = iota_f(D)  # full width for the density pass
@@ -98,8 +118,8 @@ def _ray_march_kernel(
     expand_x = expand_mat(BX, C, C)
     # z/y expansions building ohzy[r, z*BH + h] = wz[r,z] * wy[r,h] without a
     # sublane->lane reshape (Mosaic rejects that shape cast)
-    expand_z = expand_mat(BZ, BH, BH)          # [BZ, BZ*BH], key j // BH
-    expand_y = expand_mat(BH, BZ, 0)           # [BH, BZ*BH], key j % BH
+    expand_z = expand_mat(bz, BH, BH)          # [bz, bz*BH], key j // BH
+    expand_y = expand_mat(BH, bz, 0)           # [BH, bz*BH], key j % BH
     # channel select [BX*C, C]: Sel[j, c] = (j % C == c)
     jc = jax.lax.broadcasted_iota(jnp.int32, (BX * C, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (BX * C, C), 1)
@@ -117,10 +137,9 @@ def _ray_march_kernel(
     # sequential EA state update stays per-sample on the VPU. Adjacent
     # samples advance ~1.5 voxels along the ray, inside the bricks'
     # alignment margins for SPI <= 4 at flagship geometry.
-    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
+    spi = _spi(n_pts)
 
     def body(it, carry):
-        acc_feat, acc_depth, transmittance, survive_all = carry
         s = it * spi
         z0 = min_depth + step * s
         zs = [z0 + step * k for k in range(spi)]
@@ -142,48 +161,61 @@ def _ray_march_kernel(
                 raw = (raw // align) * align
             return jnp.clip(raw, 0, D - width)
 
-        dbase = base_of(izs, BZ, 1)
+        dbase = base_of(izs, bz, 1)
         hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
         xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
 
         def cat(mats):
             return mats[0] if spi == 1 else jnp.concatenate(mats, axis=0)
 
-        wz = cat([tent(z, dbase, iota_z) for z in izs])     # [spi*R, BZ]
-        wy = cat([tent(y, hbase, iota_h) for y in iys])     # [spi*R, BH]
-        wx = cat([tent(x, xbase, iota_x) for x in ixs])     # [spi*R, BX]
-        wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
-                       for x in ixs])                       # [spi*R, D]
+        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]  # [bz,BH,D]
 
-        # MXU contractions run in mm_dtype (bf16 in production: ~4x the f32
-        # MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8 relative,
-        # the same class as the bf16 volume quantization). f32 accumulate.
-        mm = lambda a, b: jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
-                                  preferred_element_type=jnp.float32)
-        ohzy = (
-            mm(wz, expand_z) * mm(wy, expand_y)
-        )                                                  # [spi*R, BZ*BH]
+        def live(carry):
+            acc_feat, acc_depth, transmittance, survive_all = carry
+            wz = cat([tent(z, dbase, iota_z) for z in izs])     # [spi*R, bz]
+            wy = cat([tent(y, hbase, iota_h) for y in iys])     # [spi*R, BH]
+            wx = cat([tent(x, xbase, iota_x) for x in ixs])     # [spi*R, BX]
+            wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
+                           for x in ixs])                       # [spi*R, D]
 
-        xoff = pl.multiple_of(xbase * C, 128)  # xbase % 8 == 0, C*8 % 128 == 0
-        fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                          pl.ds(xoff, BX * C)]             # [BZ, BH, BX*C]
-        m1 = mm(ohzy, fbrick.reshape(BZ * BH, BX * C))     # [spi*R, BX*C]
-        wx_rep = mm(wx, expand_x)
-        feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
+            # MXU contractions run in mm_dtype (bf16 in production: ~4x the
+            # f32 MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8
+            # relative, the same class as the bf16 volume quantization).
+            # f32 accumulate.
+            mm = lambda a, b: jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
+                                      preferred_element_type=jnp.float32)
+            ohzy = (
+                mm(wz, expand_z) * mm(wy, expand_y)
+            )                                                  # [spi*R, bz*BH]
 
-        dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]  # [BZ,BH,D]
-        d1 = mm(ohzy, dbrick.reshape(BZ * BH, D))          # [spi*R, D]
-        dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]
+            xoff = pl.multiple_of(xbase * C, 128)  # xbase, C*8 both aligned
+            fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                              pl.ds(xoff, BX * C)]             # [bz, BH, BX*C]
+            m1 = mm(ohzy, fbrick.reshape(bz * BH, BX * C))     # [spi*R, BX*C]
+            wx_rep = mm(wx, expand_x)
+            feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
 
-        for k in range(spi):
-            dk = dens_s[k * R:(k + 1) * R]                 # [R, 1] (sublane
-            fk = feat[k * R:(k + 1) * R]                   #  static slices)
-            wk = dk * transmittance
-            transmittance = transmittance * ((1.0 + EA_EPS) - dk)
-            acc_feat = acc_feat + wk * fk
-            acc_depth = acc_depth + wk * zs[k]
-            survive_all = survive_all * (1.0 - dk)
-        return acc_feat, acc_depth, transmittance, survive_all
+            d1 = mm(ohzy, dbrick.reshape(bz * BH, D))          # [spi*R, D]
+            dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]
+
+            for k in range(spi):
+                dk = dens_s[k * R:(k + 1) * R]             # [R, 1] (sublane
+                fk = feat[k * R:(k + 1) * R]               #  static slices)
+                wk = dk * transmittance
+                transmittance = transmittance * ((1.0 + EA_EPS) - dk)
+                acc_feat = acc_feat + wk * fk
+                acc_depth = acc_depth + wk * zs[k]
+                survive_all = survive_all * (1.0 - dk)
+            return acc_feat, acc_depth, transmittance, survive_all
+
+        if not skip_empty:
+            return live(carry)
+        # Empty-brick skip: for sigma >= 0 volumes an all-zero density brick
+        # contributes w = 0 to every sample it covers — accumulators and
+        # survive_all are exactly unchanged, and transmittance differs only
+        # by the dropped (1 + EA_EPS) factors (~1e-10/sample). Object scenes
+        # are mostly empty space, so this skips most tent/matmul work.
+        return jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda c: c, carry)
 
     init = (
         jnp.zeros((R, C), jnp.float32),
@@ -212,6 +244,7 @@ def render_volume_pallas(
     interpret: bool = None,
     vol_dtype=jnp.bfloat16,
     cams_per_volume: int = 1,
+    skip_empty: bool = True,
 ) -> jnp.ndarray:
     """Same contract as render_volume_xla.
 
@@ -258,6 +291,7 @@ def render_volume_pallas(
         D=D,
         C=C0,
         mm_dtype=vol_dtype,
+        skip_empty=skip_empty,
     )
     return pl.pallas_call(
         kernel,
@@ -407,22 +441,24 @@ def _ray_march_bwd_dens_kernel(
     satp_ref,     # VMEM scratch [n_pts, 8, R]: rows sigma, A, T, P
     *,
     n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads, cpv,
+    skip_empty,
 ):
     R = TILE * TILE
+    bz = _bz(D)
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     coords, scale = _geometry(
         origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
-    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
+    spi = _spi(n_pts)
 
-    iota_z = _iota_f(BZ)
+    iota_z = _iota_f(bz)
     iota_h = _iota_f(BH)
     iota_x = _iota_f(BX)
     iota_w = _iota_f(D)
     expand_x = _expand_mat(BX, C, C)
-    expand_z = _expand_mat(BZ, BH, BH)
-    expand_y = _expand_mat(BH, BZ, 0)
+    expand_z = _expand_mat(bz, BH, BH)
+    expand_y = _expand_mat(BH, bz, 0)
     sel = _sel_mat(BX, C)
 
     g = g_ref[0].reshape(R, C + 2)
@@ -442,8 +478,9 @@ def _ray_march_bwd_dens_kernel(
     mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
                                preferred_element_type=jnp.float32)
 
-    def group(s0):
-        """Shared-brick tent stack for samples s0..s0+spi-1."""
+    def group_geo(s0):
+        """Per-group geometry: coords, brick bases, and the density brick
+        (always fetched — its max gates the empty-brick skip)."""
         cs = [coords(s0 + k) for k in range(spi)]
         zs = [c[0] for c in cs]
         ixs = [c[1] for c in cs]
@@ -459,35 +496,55 @@ def _ray_march_bwd_dens_kernel(
                 raw = (raw // align) * align
             return jnp.clip(raw, 0, D - width)
 
-        dbase = base_of(izs, BZ, 1)
+        dbase = base_of(izs, bz, 1)
         hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
         xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
+        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                          :].reshape(bz * BH, D)
+        return zs, ixs, iys, izs, dbase, hbase, xbase, dbrick
+
+    def group_tents(ixs, iys, izs, dbase, hbase, xbase):
         wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
         wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
         wx = cat([_tent(x, xbase, iota_x, D) for x in ixs])
         wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
                        for x in ixs])
         ohzy = mm(wz, expand_z) * mm(wy, expand_y)         # [spi*R, ZH]
+        return wz, wy, wx, wx_full, ohzy
+
+    def fbrick_of(dbase, hbase, xbase):
         xoff = pl.multiple_of(xbase * C, 128)
-        fbrick = feat_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                          pl.ds(xoff, BX * C)].reshape(BZ * BH, BX * C)
-        dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                          :].reshape(BZ * BH, D)
-        return (zs, ixs, iys, izs, dbase, hbase, xbase,
-                wz, wy, wx, wx_full, ohzy, fbrick, dbrick)
+        return feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                        pl.ds(xoff, BX * C)].reshape(bz * BH, BX * C)
 
     # ---- pass 1 (forward order): stash per-sample sigma, A, T, P ----
+    # Empty-brick skip (see the forward kernel): sigma = 0 exactly and
+    # A is unused when sigma = 0 (B recurrence multiplies it by sigma),
+    # so the tent/matmul stack is skipped and zeros stashed.
     def body1(it, carry):
         T, P = carry
         s = it * spi
-        (zs, _, _, _, _, _, _, _, _, wx, wx_full, ohzy,
-         fbrick, dbrick) = group(s)
-        m1 = mm(ohzy, fbrick)
-        wx_rep = mm(wx, expand_x)
-        feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
-        d1 = mm(ohzy, dbrick)
-        dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)   # [spi*R, 1]
-        A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)     # [spi*R, 1]
+        zs, ixs, iys, izs, dbase, hbase, xbase, dbrick = group_geo(s)
+
+        def live(_):
+            wz, wy, wx, wx_full, ohzy = group_tents(
+                ixs, iys, izs, dbase, hbase, xbase)
+            m1 = mm(ohzy, fbrick_of(dbase, hbase, xbase))
+            wx_rep = mm(wx, expand_x)
+            feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
+            d1 = mm(ohzy, dbrick)
+            dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
+            A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)
+            return dens_s, A_f                             # [spi*R, 1] x2
+
+        def dead(_):
+            return (jnp.zeros((spi * R, 1), jnp.float32),
+                    jnp.zeros((spi * R, 1), jnp.float32))
+
+        if skip_empty:
+            dens_s, A_f = jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, dead, 0)
+        else:
+            dens_s, A_f = live(0)
         for k in range(spi):
             dk = dens_s[k * R:(k + 1) * R]                 # [R, 1]
             Ak = A_f[k * R:(k + 1) * R] + gD * zs[k]
@@ -503,11 +560,17 @@ def _ray_march_bwd_dens_kernel(
     jax.lax.fori_loop(0, n_pts // spi, body1, (ones, ones))
 
     # ---- pass 2 (reverse order): d_sigma -> d_dens bricks + ray grads ----
+    # Empty-brick skip: dsig is nonzero over empty space, but every voxel the
+    # dd accumulation would touch (tent support of a sigma = 0 sample over a
+    # sigma >= 0 volume) is exactly 0 — its gradient dies at the decode
+    # head's ReLU upstream (models/encoder.py:25-34; omniobject clamp too).
+    # Ray gradients of empty groups are exactly 0 (w = 0 and the derivative
+    # tents share the value tents' support, so dsig_d* = 0). The B/Q
+    # recurrences stay unconditional (cheap VPU; sigma = 0 stashed).
     def body2(it, carry):
         Bsuf, Q, d_o, d_d = carry                          # [R,1]x2, [R,3]x2
         s = n_pts - spi - it * spi
-        (zs, ixs, iys, izs, dbase, hbase, xbase,
-         wz, wy, wx, wx_full, ohzy, fbrick, dbrick) = group(s)
+        zs, ixs, iys, izs, dbase, hbase, xbase, dbrick = group_geo(s)
 
         sigs, Ts, dsigs = [None] * spi, [None] * spi, [None] * spi
         for k in reversed(range(spi)):
@@ -522,46 +585,57 @@ def _ray_march_bwd_dens_kernel(
             Q = (1.0 - sig) * Q
         dsig = cat(dsigs)                                  # [spi*R, 1]
 
-        dd = _mmT(ohzy, dsig * wx_full, mm_dtype)          # [BZ*BH, D]
-        cur = ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :]
-        ddens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH), :] = (
-            cur + dd.reshape(BZ, BH, D))
+        def live(ops):
+            d_o, d_d = ops
+            wz, wy, wx, wx_full, ohzy = group_tents(
+                ixs, iys, izs, dbase, hbase, xbase)
+            dd = _mmT(ohzy, dsig * wx_full, mm_dtype)      # [bz*BH, D]
+            cur = ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]
+            ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :] = (
+                cur + dd.reshape(bz, BH, D))
 
-        if ray_grads:
-            d1 = mm(ohzy, dbrick)                          # [spi*R, D]
-            m1 = mm(ohzy, fbrick)                          # [spi*R, BX*C]
-            wx_rep = mm(wx, expand_x)
-            wzp = cat([_dtent(z, dbase, iota_z, D) for z in izs])
-            wyp = cat([_dtent(y, hbase, iota_h, D) for y in iys])
-            wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
-                            for x in ixs])
-            ohzy_dz = mm(wzp, expand_z) * mm(wy, expand_y)
-            ohzy_dy = mm(wz, expand_z) * mm(wyp, expand_y)
-            d1z = mm(ohzy_dz, dbrick)
-            d1y = mm(ohzy_dy, dbrick)
-            k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
-            dsig_dx = k1(d1 * wxp_full)                    # [spi*R, 1]
-            dsig_dy = k1(d1y * wx_full)
-            dsig_dz = k1(d1z * wx_full)
-            wxp_rep = mm(cat([_dtent(x, xbase, iota_x, D) for x in ixs]),
-                         expand_x)
-            df_dx = mm(m1 * wxp_rep, sel)                  # [spi*R, C]
-            df_dy = mm(mm(ohzy_dy, fbrick) * wx_rep, sel)
-            df_dz = mm(mm(ohzy_dz, fbrick) * wx_rep, sel)
-            w = cat(sigs) * cat(Ts)                        # [spi*R, 1]
-            gfdot = lambda df: jnp.sum(gF_rep * df, axis=1, keepdims=True)
-            gi_x = w * gfdot(df_dx) + dsig * dsig_dx
-            gi_y = w * gfdot(df_dy) + dsig * dsig_dy
-            gi_z = w * gfdot(df_dz) + dsig * dsig_dz
-            # chain index coords -> world point (ix = -px*scale + half, ...)
-            dp = jnp.concatenate(
-                [-scale * gi_x, -scale * gi_y, scale * gi_z], axis=1
-            )                                              # [spi*R, 3]
-            for k in range(spi):
-                dpk = dp[k * R:(k + 1) * R]
-                d_o = d_o + dpk
-                d_d = d_d + zs[k] * dpk
+            if ray_grads:
+                fbrick = fbrick_of(dbase, hbase, xbase)
+                d1 = mm(ohzy, dbrick)                      # [spi*R, D]
+                m1 = mm(ohzy, fbrick)                      # [spi*R, BX*C]
+                wx_rep = mm(wx, expand_x)
+                wzp = cat([_dtent(z, dbase, iota_z, D) for z in izs])
+                wyp = cat([_dtent(y, hbase, iota_h, D) for y in iys])
+                wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                                for x in ixs])
+                ohzy_dz = mm(wzp, expand_z) * mm(wy, expand_y)
+                ohzy_dy = mm(wz, expand_z) * mm(wyp, expand_y)
+                d1z = mm(ohzy_dz, dbrick)
+                d1y = mm(ohzy_dy, dbrick)
+                k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                dsig_dx = k1(d1 * wxp_full)                # [spi*R, 1]
+                dsig_dy = k1(d1y * wx_full)
+                dsig_dz = k1(d1z * wx_full)
+                wxp_rep = mm(cat([_dtent(x, xbase, iota_x, D) for x in ixs]),
+                             expand_x)
+                df_dx = mm(m1 * wxp_rep, sel)              # [spi*R, C]
+                df_dy = mm(mm(ohzy_dy, fbrick) * wx_rep, sel)
+                df_dz = mm(mm(ohzy_dz, fbrick) * wx_rep, sel)
+                w = cat(sigs) * cat(Ts)                    # [spi*R, 1]
+                gfdot = lambda df: jnp.sum(gF_rep * df, axis=1, keepdims=True)
+                gi_x = w * gfdot(df_dx) + dsig * dsig_dx
+                gi_y = w * gfdot(df_dy) + dsig * dsig_dy
+                gi_z = w * gfdot(df_dz) + dsig * dsig_dz
+                # chain index coords -> world point (ix = -px*scale + half)
+                dp = jnp.concatenate(
+                    [-scale * gi_x, -scale * gi_y, scale * gi_z], axis=1
+                )                                          # [spi*R, 3]
+                for k in range(spi):
+                    dpk = dp[k * R:(k + 1) * R]
+                    d_o = d_o + dpk
+                    d_d = d_d + zs[k] * dpk
+            return d_o, d_d
 
+        if skip_empty:
+            d_o, d_d = jax.lax.cond(
+                jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda ops: ops, (d_o, d_d))
+        else:
+            d_o, d_d = live((d_o, d_d))
         return (Bsuf, Q, d_o, d_d)
 
     zeros1 = jnp.zeros((R, 1), jnp.float32)
@@ -580,29 +654,30 @@ def _ray_march_bwd_feat_kernel(
     g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
     dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
     *,
-    n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv,
+    n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv, skip_empty,
 ):
     # grid is (NC, B, nt, nt) — channel-chunk-major so that for grouped
     # rendering (cpv > 1) the output block index (b // cpv, nc) changes in
     # contiguous runs and is never revisited after being flushed
     R = TILE * TILE
+    bz = _bz(D)
     b = pl.program_id(1)
     ti = pl.program_id(2)
     tj = pl.program_id(3)
     coords, _ = _geometry(
         origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
 
-    iota_z = _iota_f(BZ)
+    iota_z = _iota_f(bz)
     iota_h = _iota_f(BH)
     iota_x2 = _iota_f(BX2)
     iota_w = _iota_f(D)
-    expand_z = _expand_mat(BZ, BH, BH)
-    expand_y = _expand_mat(BH, BZ, 0)
+    expand_z = _expand_mat(bz, BH, BH)
+    expand_y = _expand_mat(BH, bz, 0)
     expand_x2 = _expand_mat(BX2, CC, CC)
     sel2 = _sel_mat(BX2, CC)
 
     gF = g_ref[0, 0].reshape(R, CC)
-    spi = max(k for k in (4, 2, 1) if n_pts % k == 0)
+    spi = _spi(n_pts)
     cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
 
     @pl.when(jnp.logical_and(b % cpv == 0,
@@ -629,41 +704,50 @@ def _ray_march_bwd_feat_kernel(
                 raw = (raw // align) * align
             return jnp.clip(raw, 0, D - width)
 
-        dbase = base_of(izs, BZ, 1)
+        dbase = base_of(izs, bz, 1)
         hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
         xbase = pl.multiple_of(base_of(ixs, BX2, 16), 16)
-        wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
-        wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
-        wx2 = cat([_tent(x, xbase, iota_x2, D) for x in ixs])
-        wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
-                       for x in ixs])
-        ohzy = mm(wz, expand_z) * mm(wy, expand_y)          # [spi*R, ZH]
-        dbrick = dens_ref[0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                          :].reshape(BZ * BH, D)
-        dens_s = jnp.sum(mm(ohzy, dbrick) * wx_full,
-                         axis=1, keepdims=True)             # [spi*R, 1]
-        ws = []
-        for k in range(spi):
-            dk = dens_s[k * R:(k + 1) * R]
-            ws.append(dk * T)
-            T = T * ((1.0 + EA_EPS) - dk)
-        w = cat(ws)                                         # [spi*R, 1]
+        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                          :].reshape(bz * BH, D)
 
-        d_row = w * cat([gF] * spi)                         # [spi*R, CC]
-        # replicate channels across the BX2 x-positions: d_row @ sel2^T
-        drep = jax.lax.dot_general(
-            d_row.astype(mm_dtype), sel2.astype(mm_dtype),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [spi*R, BX2*CC]
-        dm1 = drep * mm(wx2, expand_x2)                     # [spi*R, BX2*CC]
-        dfb = _mmT(ohzy, dm1, mm_dtype)                     # [BZ*BH, BX2*CC]
+        # Empty-brick skip: sigma = 0 exactly -> w = 0 -> dfb = 0 and the
+        # T carry only loses its (1 + EA_EPS) factors (see forward kernel).
+        def live(T):
+            wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
+            wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
+            wx2 = cat([_tent(x, xbase, iota_x2, D) for x in ixs])
+            wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                           for x in ixs])
+            ohzy = mm(wz, expand_z) * mm(wy, expand_y)      # [spi*R, ZH]
+            dens_s = jnp.sum(mm(ohzy, dbrick) * wx_full,
+                             axis=1, keepdims=True)         # [spi*R, 1]
+            ws = []
+            for k in range(spi):
+                dk = dens_s[k * R:(k + 1) * R]
+                ws.append(dk * T)
+                T = T * ((1.0 + EA_EPS) - dk)
+            w = cat(ws)                                     # [spi*R, 1]
 
-        xoff = pl.multiple_of(xbase * CC, 128)
-        cur = dfeat_ref[0, 0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                        pl.ds(xoff, BX2 * CC)]
-        dfeat_ref[0, 0, pl.ds(dbase, BZ), pl.ds(hbase, BH),
-                  pl.ds(xoff, BX2 * CC)] = cur + dfb.reshape(BZ, BH, BX2 * CC)
-        return T
+            d_row = w * cat([gF] * spi)                     # [spi*R, CC]
+            # replicate channels across the BX2 x-positions: d_row @ sel2^T
+            drep = jax.lax.dot_general(
+                d_row.astype(mm_dtype), sel2.astype(mm_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [spi*R, BX2*CC]
+            dm1 = drep * mm(wx2, expand_x2)                 # [spi*R, BX2*CC]
+            dfb = _mmT(ohzy, dm1, mm_dtype)                 # [bz*BH, BX2*CC]
+
+            xoff = pl.multiple_of(xbase * CC, 128)
+            cur = dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                            pl.ds(xoff, BX2 * CC)]
+            dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                      pl.ds(xoff, BX2 * CC)] = (
+                cur + dfb.reshape(bz, BH, BX2 * CC))
+            return T
+
+        if not skip_empty:
+            return live(T)
+        return jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda T: T, T)
 
     jax.lax.fori_loop(0, n_pts // spi, body, jnp.ones((R, 1), jnp.float32))
 
@@ -676,6 +760,7 @@ def render_volume_pallas_bwd(
     mm_dtype=None,
     ray_grads: bool = True,
     cams_per_volume: int = 1,
+    skip_empty: bool = True,
 ):
     """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt).
 
@@ -708,6 +793,7 @@ def render_volume_pallas_bwd(
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D, C=C0,
         mm_dtype=mm_dtype, ray_grads=ray_grads, cpv=cpv,
+        skip_empty=skip_empty,
     )
     d_dens, d_ray = pl.pallas_call(
         kern_a,
@@ -751,7 +837,7 @@ def render_volume_pallas_bwd(
         _ray_march_bwd_feat_kernel,
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D,
-        mm_dtype=mm_dtype, cpv=cpv,
+        mm_dtype=mm_dtype, cpv=cpv, skip_empty=skip_empty,
     )
     d_feat_chunks = pl.pallas_call(
         kern_b,
@@ -810,34 +896,35 @@ def _make_rvp_grad(ray_grads: bool):
     the full backward.
     """
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+    @functools.partial(jax.custom_vjp,
+                       nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
     def rvp(features, densities, K, R, t,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-            cams_per_volume):
+            cams_per_volume, skip_empty=True):
         return render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
-            cams_per_volume=cams_per_volume,
+            cams_per_volume=cams_per_volume, skip_empty=skip_empty,
         )
 
     def fwd(features, densities, K, R, t,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-            cams_per_volume):
+            cams_per_volume, skip_empty=True):
         out = render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
-            cams_per_volume=cams_per_volume,
+            cams_per_volume=cams_per_volume, skip_empty=skip_empty,
         )
         return out, (features, densities, K, R, t)
 
     def bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
-            cams_per_volume, res, g):
+            cams_per_volume, skip_empty, res, g):
         features, densities, K, R, t = res
         return render_volume_pallas_bwd(
             features, densities, K, R, t, g,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             ray_grads=ray_grads,
-            cams_per_volume=cams_per_volume,
+            cams_per_volume=cams_per_volume, skip_empty=skip_empty,
         )
 
     rvp.defvjp(fwd, bwd)
@@ -846,3 +933,56 @@ def _make_rvp_grad(ray_grads: bool):
 
 render_volume_pallas_grad = _make_rvp_grad(True)
 render_volume_pallas_grad_nocam = _make_rvp_grad(False)
+
+
+def check_brick_coverage(K, R, t, image_size, n_pts_per_ray,
+                         min_depth, max_depth, volume_size, D):
+    """Host-side diagnostic: max per-tile-group voxel footprint vs brick sizes.
+
+    The kernel shares one (BZ, BH, BX) brick across a TILE^2-pixel tile and
+    _spi consecutive depth samples; tent weight falling OUTSIDE the brick is
+    silently dropped (a graceful darkening of extreme corner tiles, not a
+    crash). This utility computes the EXACT footprint for concrete cameras so
+    tests and dataset integrations can assert their geometry fits. Returns
+    dict of the worst-case span (including the +-1 tent reach and the
+    h/x base alignment slack) per axis against (BZ, BH, BX).
+    """
+    import numpy as np
+
+    origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
+    origins = np.asarray(origins)[:, None, None, :]
+    dirs = np.asarray(dirs)
+    cmax = coord_grid_max(D, volume_size)
+    scale = 0.5 * (D - 1) / cmax
+    half = 0.5 * (D - 1)
+    spi = _spi(n_pts_per_ray)
+    step = (max_depth - min_depth) / (n_pts_per_ray - 1)
+    zs = min_depth + step * np.arange(n_pts_per_ray)
+
+    B = dirs.shape[0]
+    nt = image_size // TILE
+    worst = {"z": 0.0, "h": 0.0, "x": 0.0}
+    flip = np.array([-1.0, -1.0, 1.0])
+    for b in range(B):
+        # [img, img, 3] index coords per depth group: span per tile
+        for g in range(n_pts_per_ray // spi):
+            zg = zs[g * spi:(g + 1) * spi]                       # [spi]
+            p = origins[b] + zg[:, None, None, None] * dirs[b]   # [spi,H,W,3]
+            idx = p * flip * scale + half
+            tiles = idx.reshape(spi, nt, TILE, nt, TILE, 3)
+            span = (tiles.max(axis=(0, 2, 4)) - tiles.min(axis=(0, 2, 4)))
+            worst["x"] = max(worst["x"], float(span[..., 0].max()))
+            worst["h"] = max(worst["h"], float(span[..., 1].max()))
+            worst["z"] = max(worst["z"], float(span[..., 2].max()))
+    # +2 tent reach (+-1), +1 floor slack; h/x also pay up-to-7 base alignment
+    need = {
+        "z": worst["z"] + 3.0,
+        "h": worst["h"] + 3.0 + 7.0,
+        "x": worst["x"] + 3.0 + 7.0,
+    }
+    return {
+        "need": need,
+        "brick": {"z": _bz(D), "h": BH, "x": BX},
+        "ok": (need["z"] <= _bz(D) and need["h"] <= BH
+               and need["x"] <= BX),
+    }

@@ -110,6 +110,8 @@ def cmd_train(args) -> int:
         cfg = merge_config(cfg, {"train": {"batch_size": args.batch_size}})
     if args.img_size:
         cfg = merge_config(cfg, {"dataset": {"img_size": args.img_size}})
+    if args.vis_freq >= 0:
+        cfg = merge_config(cfg, {"vis_freq": args.vis_freq})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -476,6 +478,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--img-size", type=int, default=0,
                     help="override cfg.dataset.img_size")
     tp.add_argument("--val-every", type=int, default=10)
+    tp.add_argument("--vis-freq", type=int, default=-1,
+                    help="override cfg.vis_freq (0 disables train-time vis)")
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
     tp.add_argument("--vgg-checkpoint", default="",
