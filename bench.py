@@ -26,6 +26,11 @@ vs_baseline_est2p5 for cross-round continuity. North star: >=5x per chip.
 import json
 import os
 
+# persistent compile cache: the flagship init/train compiles are ~6-11 min
+# on the relay terminal and recur across bench/curriculum processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import jax
 import jax.numpy as jnp
 
@@ -89,8 +94,8 @@ def _measure_refine(backend: str, chunk: int = 10):
     return dt / chunk
 
 
-def _measure_train_step(backend: str):
-    """One joint train step (batch 1) on the chip."""
+def _measure_train_step(backend: str, b: int = 1):
+    """One joint train step (batch b) on the chip."""
     import __graft_entry__ as ge
     from forge_tpu.models import build_model
     from forge_tpu.train import (
@@ -98,7 +103,7 @@ def _measure_train_step(backend: str):
 
     cfg = ge.flagship_config(backend=backend)
     model = build_model(cfg)
-    sample = jax.device_put(ge.synthetic_sample(cfg, b=1, t_all=10))
+    sample = jax.device_put(ge.synthetic_sample(cfg, b=b, t_all=10))
     step_def = get_curriculum_step("full", "joint")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -164,8 +169,11 @@ def main():
         except Exception as e:
             extra["objects_per_sec_batched"] = f"failed: {e}"[:120]
         try:
-            extra["refine_ms_per_iter"] = round(
-                _measure_refine(best_backend) * 1e3, 1)
+            refine_ms = _measure_refine(best_backend) * 1e3
+            extra["refine_ms_per_iter"] = round(refine_ms, 1)
+            # the reference's "1000 iters already good" refinement budget
+            # (kubric_eval.py:578-579) in wall seconds/object
+            extra["refine_1000iter_s"] = round(refine_ms, 1)
         except Exception as e:
             extra["refine_ms_per_iter"] = f"failed: {e}"[:120]
         try:
@@ -173,15 +181,27 @@ def main():
                 _measure_train_step(best_backend) * 1e3, 1)
         except Exception as e:
             extra["train_step_ms"] = f"failed: {e}"[:120]
+        try:
+            # the reference's per-GPU training configuration (batch 4,
+            # config/kubric/joint_pose_2d3d.yaml): per-chip train objects/sec
+            dt4 = _measure_train_step(best_backend, b=4)
+            extra["train_step_ms_b4"] = round(dt4 * 1e3, 1)
+            extra["train_objects_per_sec_b4"] = round(4.0 / dt4, 3)
+        except Exception as e:
+            extra["train_step_ms_b4"] = f"failed: {e}"[:120]
 
     extra["ray_msamples_per_sec"] = round(
         ray_samples * objects_per_sec / 1e6, 1)
     extra["vs_baseline_est2p5"] = round(
         objects_per_sec / BASELINE_EST_ROUNDS_1_2, 3)
     ts = extra.get("train_step_ms")
-    if isinstance(ts, (int, float)):
+    train_ops = [1000.0 / ts] if isinstance(ts, (int, float)) else []
+    t4 = extra.get("train_objects_per_sec_b4")
+    if isinstance(t4, (int, float)):
+        train_ops.append(t4)
+    if train_ops:
         extra["train_vs_baseline"] = round(
-            (1000.0 / ts) / BASELINE_TRAIN_OBJECTS_PER_SEC_PER_A40, 3)
+            max(train_ops) / BASELINE_TRAIN_OBJECTS_PER_SEC_PER_A40, 3)
     print(json.dumps({
         "metric": (f"5-view objects/sec (full eval forward, best batch"
                    f" b={best_b}, 10 renders/object @128^2x64)"),

@@ -77,6 +77,7 @@ def _ray_march_kernel(
     feat_ref,      # VMEM [1, D, H, W*C] bf16
     dens_ref,      # VMEM [1, D, H, W] bf16
     out_ref,       # VMEM [1, TILE, TILE, C + 2]
+    tp_ref=None,   # VMEM [1, 1, 1, 2*G, R] optional (T, P) group-start stash
     *,
     n_pts: int,
     min_depth: float,
@@ -139,7 +140,15 @@ def _ray_march_kernel(
     # alignment margins for SPI <= 4 at flagship geometry.
     spi = _spi(n_pts)
 
+    n_groups = n_pts // spi
+
     def body(it, carry):
+        # Stash this group's START (T, P) for the fused backward: kernel A's
+        # reverse pass recomputes per-sample sigma/A from these boundaries,
+        # eliminating its whole forward-order pass 1 (ray_march_pallas bwd).
+        if tp_ref is not None:
+            tp_ref[0, 0, 0, pl.ds(it, 1), :] = carry[2].reshape(1, R)
+            tp_ref[0, 0, 0, pl.ds(n_groups + it, 1), :] = carry[3].reshape(1, R)
         s = it * spi
         z0 = min_depth + step * s
         zs = [z0 + step * k for k in range(spi)]
@@ -245,8 +254,15 @@ def render_volume_pallas(
     vol_dtype=jnp.bfloat16,
     cams_per_volume: int = 1,
     skip_empty: bool = True,
+    stash_tp: bool = False,
 ) -> jnp.ndarray:
     """Same contract as render_volume_xla.
+
+    stash_tp=True additionally returns the per-tile group-start (T, P) EA
+    state [B, nt, nt, 2*G, TILE*TILE] f32 (rows 0..G-1 = transmittance T,
+    rows G..2G-1 = survival P at each depth-group boundary) consumed by
+    render_volume_pallas_bwd — the forward already holds this state in
+    registers, so stashing it replaces the backward's pass-1 recompute.
 
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU test
     runs) and the compiled Mosaic kernel on TPU.
@@ -293,6 +309,20 @@ def render_volume_pallas(
         mm_dtype=vol_dtype,
         skip_empty=skip_empty,
     )
+    out_specs = pl.BlockSpec(
+        (1, TILE, TILE, C0 + 2), lambda b, i, j: (b, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (B, image_size, image_size, C0 + 2), jnp.float32
+    )
+    if stash_tp:
+        G = n_pts_per_ray // _spi(n_pts_per_ray)
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, 1, 1, 2 * G, TILE * TILE), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct(
+            (B, nt, nt, 2 * G, TILE * TILE), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(B, nt, nt),
@@ -310,13 +340,8 @@ def render_volume_pallas(
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, TILE, TILE, C0 + 2), lambda b, i, j: (b, i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, image_size, image_size, C0 + 2), jnp.float32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs, feat_vol, dens_vol)
 
@@ -344,10 +369,15 @@ def render_volume_pallas(
 #
 # Split into two kernels to respect the ~16 MB VMEM budget:
 #   A (_bwd_dens): feat+dens volumes resident -> d_dens [D,H,W] f32 +
-#     per-ray d_origin/d_dirs; stashes per-sample (sigma, A, T, P) in scratch.
+#     per-ray d_origin/d_dirs. A single REVERSE pass: the forward kernel
+#     stashes the group-start (T, P) EA state (stash_tp), and per-sample
+#     sigma/A are recomputed inside the reverse loop from the same tent
+#     contractions it already needs for the gradients — no forward-order
+#     pass 1, no per-sample scratch.
 #   B (_bwd_feat): d_feat is 64^3 x 16 f32 = 16.7 MB, so it runs per
 #     8-channel chunk in a c-major layout [B, NC, D, H, W*CC] (8.4 MB blocks),
-#     recomputing w_s from the density volume alone (0.5 MB bf16).
+#     as a pure transposed tent scatter of kernel A's stashed per-sample EA
+#     weights (no density march of its own).
 # ---------------------------------------------------------------------------
 
 BX2 = 32        # kernel-B brick voxels along W (base aligned to 16 so the
@@ -436,9 +466,10 @@ def _ray_march_bwd_dens_kernel(
     feat_ref,     # VMEM [1, D, H, W*C] bf16
     dens_ref,     # VMEM [1, D, H, W] bf16
     g_ref,        # VMEM [1, TILE, TILE, C + 2] f32 cotangent image
+    tp_ref,       # VMEM [1, 1, 1, 2*G, R] f32 forward (T, P) group stash
     ddens_ref,    # VMEM out [1, D, H, W] f32 (accumulated over tiles)
     dray_ref,     # VMEM out [1, TILE, TILE, 8] f32 (d_origin | d_dirs)
-    satp_ref,     # VMEM scratch [n_pts, 8, R]: rows sigma, A, T, P
+    w_ref,        # VMEM out [1, 1, 1, n_pts, R] f32 per-sample EA weights
     *,
     n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads, cpv,
     skip_empty,
@@ -517,88 +548,64 @@ def _ray_march_bwd_dens_kernel(
         return feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
                         pl.ds(xoff, BX * C)].reshape(bz * BH, BX * C)
 
-    # ---- pass 1 (forward order): stash per-sample sigma, A, T, P ----
-    # Empty-brick skip (see the forward kernel): sigma = 0 exactly and
-    # A is unused when sigma = 0 (B recurrence multiplies it by sigma),
-    # so the tent/matmul stack is skipped and zeros stashed.
-    def body1(it, carry):
-        T, P = carry
-        s = it * spi
-        zs, ixs, iys, izs, dbase, hbase, xbase, dbrick = group_geo(s)
-
-        def live(_):
-            wz, wy, wx, wx_full, ohzy = group_tents(
-                ixs, iys, izs, dbase, hbase, xbase)
-            m1 = mm(ohzy, fbrick_of(dbase, hbase, xbase))
-            wx_rep = mm(wx, expand_x)
-            feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
-            d1 = mm(ohzy, dbrick)
-            dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
-            A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)
-            return dens_s, A_f                             # [spi*R, 1] x2
-
-        def dead(_):
-            return (jnp.zeros((spi * R, 1), jnp.float32),
-                    jnp.zeros((spi * R, 1), jnp.float32))
-
-        if skip_empty:
-            dens_s, A_f = jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, dead, 0)
-        else:
-            dens_s, A_f = live(0)
-        for k in range(spi):
-            dk = dens_s[k * R:(k + 1) * R]                 # [R, 1]
-            Ak = A_f[k * R:(k + 1) * R] + gD * zs[k]
-            satp_ref[pl.ds(s + k, 1), 0:1, :] = dk.reshape(1, 1, R)
-            satp_ref[pl.ds(s + k, 1), 1:2, :] = Ak.reshape(1, 1, R)
-            satp_ref[pl.ds(s + k, 1), 2:3, :] = T.reshape(1, 1, R)
-            satp_ref[pl.ds(s + k, 1), 3:4, :] = P.reshape(1, 1, R)
-            T = T * ((1.0 + EA_EPS) - dk)
-            P = P * (1.0 - dk)
-        return (T, P)
-
-    ones = jnp.ones((R, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_pts // spi, body1, (ones, ones))
-
-    # ---- pass 2 (reverse order): d_sigma -> d_dens bricks + ray grads ----
+    # ---- single reverse pass: d_sigma -> d_dens bricks + ray grads ----
+    # Per-sample (sigma, A) are recomputed here from the SAME tent
+    # contractions the gradients need anyway; per-sample (T, P) roll forward
+    # within each group from the forward kernel's stashed group-start state.
     # Empty-brick skip: dsig is nonzero over empty space, but every voxel the
     # dd accumulation would touch (tent support of a sigma = 0 sample over a
     # sigma >= 0 volume) is exactly 0 — its gradient dies at the decode
     # head's ReLU upstream (models/encoder.py:25-34; omniobject clamp too).
     # Ray gradients of empty groups are exactly 0 (w = 0 and the derivative
-    # tents share the value tents' support, so dsig_d* = 0). The B/Q
-    # recurrences stay unconditional (cheap VPU; sigma = 0 stashed).
+    # tents share the value tents' support, so dsig_d* = 0). A dead group is
+    # a no-op on the (B, Q) recurrences too: the skipping forward drops even
+    # the (1 + eps) factors, so its exact VJP carries nothing across them.
+    n_groups = n_pts // spi
+
     def body2(it, carry):
-        Bsuf, Q, d_o, d_d = carry                          # [R,1]x2, [R,3]x2
         s = n_pts - spi - it * spi
+        gidx = n_groups - 1 - it
         zs, ixs, iys, izs, dbase, hbase, xbase, dbrick = group_geo(s)
 
-        sigs, Ts, dsigs = [None] * spi, [None] * spi, [None] * spi
-        for k in reversed(range(spi)):
-            row = satp_ref[pl.ds(s + k, 1), :, :].reshape(8, R)
-            sig = row[0:1].reshape(R, 1)
-            A = row[1:2].reshape(R, 1)
-            T = row[2:3].reshape(R, 1)
-            P = row[3:4].reshape(R, 1)
-            dsigs[k] = T * (A - Bsuf) + gO * P * Q
-            sigs[k], Ts[k] = sig, T
-            Bsuf = sig * A + ((1.0 + EA_EPS) - sig) * Bsuf
-            Q = (1.0 - sig) * Q
-        dsig = cat(dsigs)                                  # [spi*R, 1]
-
-        def live(ops):
-            d_o, d_d = ops
+        def live(carry):
+            Bsuf, Q, d_o, d_d = carry                      # [R,1]x2, [R,3]x2
+            T = tp_ref[0, 0, 0, pl.ds(gidx, 1), :].reshape(R, 1)
+            P = tp_ref[0, 0, 0, pl.ds(n_groups + gidx, 1), :].reshape(R, 1)
             wz, wy, wx, wx_full, ohzy = group_tents(
                 ixs, iys, izs, dbase, hbase, xbase)
+            fbrick = fbrick_of(dbase, hbase, xbase)
+            d1 = mm(ohzy, dbrick)                          # [spi*R, D]
+            dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
+            m1 = mm(ohzy, fbrick)                          # [spi*R, BX*C]
+            wx_rep = mm(wx, expand_x)
+            feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
+            A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)
+
+            sigs, As, Ts, Ps = [], [], [], []
+            for k in range(spi):
+                sig = dens_s[k * R:(k + 1) * R]            # [R, 1]
+                sigs.append(sig)
+                As.append(A_f[k * R:(k + 1) * R] + gD * zs[k])
+                Ts.append(T)
+                Ps.append(P)
+                # per-sample EA weight stash for kernel B (its d_row is
+                # w * gF, so it needs no density march of its own)
+                w_ref[0, 0, 0, pl.ds(s + k, 1), :] = (sig * T).reshape(1, R)
+                T = T * ((1.0 + EA_EPS) - sig)
+                P = P * (1.0 - sig)
+            dsigs = [None] * spi
+            for k in reversed(range(spi)):
+                dsigs[k] = Ts[k] * (As[k] - Bsuf) + gO * Ps[k] * Q
+                Bsuf = sigs[k] * As[k] + ((1.0 + EA_EPS) - sigs[k]) * Bsuf
+                Q = (1.0 - sigs[k]) * Q
+            dsig = cat(dsigs)                              # [spi*R, 1]
+
             dd = _mmT(ohzy, dsig * wx_full, mm_dtype)      # [bz*BH, D]
             cur = ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]
             ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :] = (
                 cur + dd.reshape(bz, BH, D))
 
             if ray_grads:
-                fbrick = fbrick_of(dbase, hbase, xbase)
-                d1 = mm(ohzy, dbrick)                      # [spi*R, D]
-                m1 = mm(ohzy, fbrick)                      # [spi*R, BX*C]
-                wx_rep = mm(wx, expand_x)
                 wzp = cat([_dtent(z, dbase, iota_z, D) for z in izs])
                 wyp = cat([_dtent(y, hbase, iota_h, D) for y in iys])
                 wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
@@ -629,15 +636,20 @@ def _ray_march_bwd_dens_kernel(
                     dpk = dp[k * R:(k + 1) * R]
                     d_o = d_o + dpk
                     d_d = d_d + zs[k] * dpk
-            return d_o, d_d
+            return (Bsuf, Q, d_o, d_d)
+
+        def dead(carry):
+            for k in range(spi):
+                w_ref[0, 0, 0, pl.ds(s + k, 1), :] = jnp.zeros(
+                    (1, R), jnp.float32)
+            return carry
 
         if skip_empty:
-            d_o, d_d = jax.lax.cond(
-                jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda ops: ops, (d_o, d_d))
-        else:
-            d_o, d_d = live((d_o, d_d))
-        return (Bsuf, Q, d_o, d_d)
+            return jax.lax.cond(
+                jnp.max(dbrick.astype(jnp.float32)) > 0, live, dead, carry)
+        return live(carry)
 
+    ones = jnp.ones((R, 1), jnp.float32)
     zeros1 = jnp.zeros((R, 1), jnp.float32)
     zeros3 = jnp.zeros((R, 3), jnp.float32)
     _, _, d_o, d_d = jax.lax.fori_loop(
@@ -650,15 +662,21 @@ def _ray_march_bwd_dens_kernel(
 def _ray_march_bwd_feat_kernel(
     origin_ref,   # SMEM [B, 3]
     dirs_ref,     # VMEM [1, TILE, TILE, 128]
-    dens_ref,     # VMEM [1, D, H, W] bf16
     g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
+    w_ref,        # VMEM [1, 1, 1, n_pts, R] f32 kernel A's EA-weight stash
     dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
     *,
-    n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv, skip_empty,
+    n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv,
 ):
     # grid is (NC, B, nt, nt) — channel-chunk-major so that for grouped
     # rendering (cpv > 1) the output block index (b // cpv, nc) changes in
-    # contiguous runs and is never revisited after being flushed
+    # contiguous runs and is never revisited after being flushed.
+    #
+    # d_feat is a pure transposed tent scatter of d_row = w * gF: with the
+    # per-sample EA weights stashed by kernel A there is no density march
+    # here at all (no density volume, no d1 contraction, no sequential T
+    # chain), and groups are skipped exactly when their stashed w rows are
+    # all zero (w = 0 -> dfb = 0; covers empty bricks AND fully-dead rays).
     R = TILE * TILE
     bz = _bz(D)
     b = pl.program_id(1)
@@ -670,7 +688,6 @@ def _ray_march_bwd_feat_kernel(
     iota_z = _iota_f(bz)
     iota_h = _iota_f(BH)
     iota_x2 = _iota_f(BX2)
-    iota_w = _iota_f(D)
     expand_z = _expand_mat(bz, BH, BH)
     expand_y = _expand_mat(BH, bz, 0)
     expand_x2 = _expand_mat(BX2, CC, CC)
@@ -688,7 +705,7 @@ def _ray_march_bwd_feat_kernel(
     mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
                                preferred_element_type=jnp.float32)
 
-    def body(it, T):
+    def body(it, _):
         s = it * spi
         cs = [coords(s + k) for k in range(spi)]
         ixs = [c[1] for c in cs]
@@ -707,26 +724,16 @@ def _ray_march_bwd_feat_kernel(
         dbase = base_of(izs, bz, 1)
         hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
         xbase = pl.multiple_of(base_of(ixs, BX2, 16), 16)
-        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                          :].reshape(bz * BH, D)
 
-        # Empty-brick skip: sigma = 0 exactly -> w = 0 -> dfb = 0 and the
-        # T carry only loses its (1 + EA_EPS) factors (see forward kernel).
-        def live(T):
+        ws = [w_ref[0, 0, 0, pl.ds(s + k, 1), :].reshape(R, 1)
+              for k in range(spi)]
+        w = cat(ws)                                         # [spi*R, 1]
+
+        def live(_):
             wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
             wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
             wx2 = cat([_tent(x, xbase, iota_x2, D) for x in ixs])
-            wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
-                           for x in ixs])
             ohzy = mm(wz, expand_z) * mm(wy, expand_y)      # [spi*R, ZH]
-            dens_s = jnp.sum(mm(ohzy, dbrick) * wx_full,
-                             axis=1, keepdims=True)         # [spi*R, 1]
-            ws = []
-            for k in range(spi):
-                dk = dens_s[k * R:(k + 1) * R]
-                ws.append(dk * T)
-                T = T * ((1.0 + EA_EPS) - dk)
-            w = cat(ws)                                     # [spi*R, 1]
 
             d_row = w * cat([gF] * spi)                     # [spi*R, CC]
             # replicate channels across the BX2 x-positions: d_row @ sel2^T
@@ -743,13 +750,12 @@ def _ray_march_bwd_feat_kernel(
             dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
                       pl.ds(xoff, BX2 * CC)] = (
                 cur + dfb.reshape(bz, BH, BX2 * CC))
-            return T
+            return 0
 
-        if not skip_empty:
-            return live(T)
-        return jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda T: T, T)
+        jax.lax.cond(jnp.max(jnp.abs(w)) > 0, live, lambda _: 0, 0)
+        return 0
 
-    jax.lax.fori_loop(0, n_pts // spi, body, jnp.ones((R, 1), jnp.float32))
+    jax.lax.fori_loop(0, n_pts // spi, body, 0)
 
 
 def render_volume_pallas_bwd(
@@ -761,6 +767,7 @@ def render_volume_pallas_bwd(
     ray_grads: bool = True,
     cams_per_volume: int = 1,
     skip_empty: bool = True,
+    tp=None,
 ):
     """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt).
 
@@ -768,6 +775,10 @@ def render_volume_pallas_bwd(
     the gradient volumes accumulate IN VMEM across each volume's n cameras
     (sequential grid) — d_feat/d_dens come out [V, ...] directly, with no
     per-camera gradient stack in HBM and no cross-camera reduce.
+
+    tp is the forward's stash_tp output (group-start (T, P) per tile). The
+    custom-vjp wrapper passes it from the forward residuals; direct callers
+    may omit it, in which case the forward is re-run here to produce it.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -779,6 +790,13 @@ def render_volume_pallas_bwd(
     NC = C0 // CC
     mm_dtype = vol_dtype if mm_dtype is None else mm_dtype
 
+    if tp is None:
+        _, tp = render_volume_pallas(
+            features, densities, K, R, t, image_size, n_pts_per_ray,
+            min_depth, max_depth, volume_size, interpret=interpret,
+            vol_dtype=vol_dtype, cams_per_volume=cpv, skip_empty=skip_empty,
+            stash_tp=True)
+
     feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
@@ -787,6 +805,7 @@ def render_volume_pallas_bwd(
     cmax = coord_grid_max(D, volume_size)
     nt = image_size // TILE
     g = g.astype(jnp.float32)
+    G = n_pts_per_ray // _spi(n_pts_per_ray)
 
     kern_a = functools.partial(
         _ray_march_bwd_dens_kernel,
@@ -795,7 +814,7 @@ def render_volume_pallas_bwd(
         mm_dtype=mm_dtype, ray_grads=ray_grads, cpv=cpv,
         skip_empty=skip_empty,
     )
-    d_dens, d_ray = pl.pallas_call(
+    d_dens, d_ray, w_stash = pl.pallas_call(
         kern_a,
         grid=(B, nt, nt),
         in_specs=[
@@ -812,22 +831,28 @@ def render_volume_pallas_bwd(
             pl.BlockSpec((1, TILE, TILE, C0 + 2),
                          lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * G, TILE * TILE),
+                         lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, TILE, 8), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n_pts_per_ray, TILE * TILE),
+                         lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((V, D, H, W), jnp.float32),
             jax.ShapeDtypeStruct((B, image_size, image_size, 8), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (B, nt, nt, n_pts_per_ray, TILE * TILE), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((n_pts_per_ray, 8, TILE * TILE),
-                                   jnp.float32)],
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs_pad, feat_vol, dens_vol, g)
+    )(origins.astype(jnp.float32), dirs_pad, feat_vol, dens_vol, g, tp)
 
     # c-major chunked cotangent image for kernel B
     g_chunks = g[..., :C0].reshape(
@@ -837,7 +862,7 @@ def render_volume_pallas_bwd(
         _ray_march_bwd_feat_kernel,
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D,
-        mm_dtype=mm_dtype, cpv=cpv, skip_empty=skip_empty,
+        mm_dtype=mm_dtype, cpv=cpv,
     )
     d_feat_chunks = pl.pallas_call(
         kern_b,
@@ -847,11 +872,11 @@ def render_volume_pallas_bwd(
             pl.BlockSpec((1, TILE, TILE, 128),
                          lambda n, b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda n, b, i, j: (b // cpv, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TILE, TILE, CC),
                          lambda n, b, i, j: (b, n, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n_pts_per_ray, TILE * TILE),
+                         lambda n, b, i, j: (b, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -860,7 +885,7 @@ def render_volume_pallas_bwd(
         out_shape=jax.ShapeDtypeStruct((V, NC, D, H, W * CC), jnp.float32),
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs_pad, dens_vol, g_chunks)
+    )(origins.astype(jnp.float32), dirs_pad, g_chunks, w_stash)
 
     d_feat = d_feat_chunks.reshape(V, NC, D, H, W, CC)
     d_feat = jnp.transpose(d_feat, (0, 2, 3, 4, 1, 5)).reshape(
@@ -910,21 +935,23 @@ def _make_rvp_grad(ray_grads: bool):
     def fwd(features, densities, K, R, t,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             cams_per_volume, skip_empty=True):
-        out = render_volume_pallas(
+        out, tp = render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
             cams_per_volume=cams_per_volume, skip_empty=skip_empty,
+            stash_tp=True,
         )
-        return out, (features, densities, K, R, t)
+        return out, (features, densities, K, R, t, tp)
 
     def bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             cams_per_volume, skip_empty, res, g):
-        features, densities, K, R, t = res
+        features, densities, K, R, t, tp = res
         return render_volume_pallas_bwd(
             features, densities, K, R, t, g,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             ray_grads=ray_grads,
             cams_per_volume=cams_per_volume, skip_empty=skip_empty,
+            tp=tp,
         )
 
     rvp.defvjp(fwd, bwd)

@@ -254,11 +254,22 @@ def cmd_train(args) -> int:
                 vis_seq(clips[:, :tr], fg[:, :tr], imgs, masks,
                         tag, output_dir)
 
+    # --profile captures a jax.profiler device trace of a few steady-state
+    # steps to <output_dir>/profile (view with tensorboard / xprof; replaces
+    # the reference's wall-clock-meters-only observability,
+    # scripts/kubric_trainer.py:42-48)
+    timer = None
+    if getattr(args, "profile", False):
+        from forge_tpu.utils.exp import StepTimer
+
+        timer = StepTimer(profile_dir=os.path.join(output_dir, "profile"))
+        logger.info(f"profiling steps 10-13 -> {output_dir}/profile")
+
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.end_epoch):
             state, rng, avg = train_epoch(
                 cfg, loader, state, train_step, rng, epoch, mesh=mesh,
-                logger=logger, vis_fn=vis_fn)
+                logger=logger, vis_fn=vis_fn, timer=timer)
             CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
                                  {"epoch": epoch, **avg})
             if (epoch + 1) % max(1, args.val_every) == 0:
@@ -266,6 +277,8 @@ def cmd_train(args) -> int:
                          "batch_stats": state.batch_stats}
                 vm = validate(jax.device_get(vvars), val_loader, logger)
                 best.update(state, psnr=vm.get("psnr"), rot=vm.get("rot"))
+    if timer is not None:
+        timer.close()
     logger.info("training done")
     return 0
 
@@ -480,6 +493,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--val-every", type=int, default=10)
     tp.add_argument("--vis-freq", type=int, default=-1,
                     help="override cfg.vis_freq (0 disables train-time vis)")
+    tp.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 10-13 to "
+                         "<output_dir>/profile")
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
     tp.add_argument("--vgg-checkpoint", default="",

@@ -55,6 +55,7 @@ def train_epoch(
         t2 = time.perf_counter()
         t_put += t2 - t1
         rng, step_rng = jax.random.split(rng)
+        timer.tick()
         state, metrics = train_step(state, arrays, step_rng, epoch)
 
         if (i + 1) % cfg.print_freq == 0 or i == n_batches - 1:

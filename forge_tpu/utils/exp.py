@@ -87,18 +87,32 @@ class StepTimer:
         self.profile_start = profile_start
         self.profile_stop = profile_start + profile_steps
         self._active = False
+        self._count = 0
         self._t = time.perf_counter()
 
-    def step(self, i: int) -> float:
+    def tick(self):
+        """Call once per train step (global across epochs): captures a device
+        trace for steps [profile_start, profile_stop) when profile_dir is
+        set. Step profile_start is past the first-step compiles so the trace
+        records steady-state device work, not tracing/compilation."""
         if self.profile_dir:
             import jax
 
-            if i == self.profile_start and not self._active:
+            if self._count == self.profile_start and not self._active:
                 jax.profiler.start_trace(self.profile_dir)
                 self._active = True
-            elif i == self.profile_stop and self._active:
-                jax.profiler.stop_trace()
-                self._active = False
+            elif self._count >= self.profile_stop and self._active:
+                self.close()
+        self._count += 1
+
+    def close(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def step(self, i: int) -> float:
         now = time.perf_counter()
         dt = now - self._t
         self._t = now
