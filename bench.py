@@ -63,7 +63,22 @@ def _setup(backend: str, b: int = 1):
     # device-resident (DeviceCachedLoader; eval uploads each instance once).
     sample = jax.device_put(sample)
     jax.block_until_ready(sample)
-    variables = ge.zeros_variables(model, sample)
+    # Random (NOT zero) weights: zero weights decode an all-zero density
+    # volume, which the renderer's exact empty-brick skip turns into an
+    # empty-scene fast path — random weights are the dense worst case.
+    # FORGE_BENCH_CHECKPOINT benches a real trained checkpoint instead
+    # (sparse object scenes; faster).
+    cpt = os.environ.get("FORGE_BENCH_CHECKPOINT", "")
+    variables = ge.bench_variables(model, sample)
+    if cpt:
+        from forge_tpu.utils import checkpoint as CKPT
+
+        raw = CKPT.load_checkpoint(cpt)
+        src = raw.get("variables", raw)
+        if "params" not in src and "state" in raw:
+            src = {"params": raw["state"]["params"],
+                   "batch_stats": raw["state"].get("batch_stats", {})}
+        variables = CKPT.load_subtrees(variables, src, ["*"], [])
     return cfg, model, sample, variables
 
 
