@@ -70,12 +70,26 @@ def cpt(cfg_name):
     raise FileNotFoundError(d)
 
 
+# Pre-render every scene the curriculum touches into the disk cache while
+# HBM is empty: a lazy mid-training scene render (test split at the first
+# validation) OOMed the first flagship attempt at epoch 10.
+if SCALE == "full":
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "experiments/warm_synth_cache.py", str(SEQS)],
+        cwd="/root/repo", env=ENV)
+    print(f"=== warm cache rc={r.returncode} ({time.time()-t0:.0f}s)",
+          flush=True)
+    if r.returncode != 0:
+        raise SystemExit("cache warm failed")
+
 # Flagship scale: no img-size/batch-size overrides — each stage runs its
 # reference configuration (render.backend resolves to the fused pallas
 # kernel on TPU). Train-time visualization limited to once per 200 iters
-# (each vis is a host matplotlib round trip).
+# (each vis is a host matplotlib round trip). --resume makes every stage
+# restartable from its cpt_last (crash recovery; completed stages skip).
 common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "10",
-          "--vis-freq", "200", "--output-dir", OUT]
+          "--vis-freq", "200", "--output-dir", OUT, "--resume"]
 if SCALE != "full":
     common += ["--batch-size", "1", "--img-size", "128", "--val-every", "2"]
 

@@ -112,6 +112,8 @@ def cmd_train(args) -> int:
         cfg = merge_config(cfg, {"dataset": {"img_size": args.img_size}})
     if args.vis_freq >= 0:
         cfg = merge_config(cfg, {"vis_freq": args.vis_freq})
+    if getattr(args, "resume", False):
+        cfg = merge_config(cfg, {"train": {"resume": True}})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -496,6 +498,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     tp.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 10-13 to "
                          "<output_dir>/profile")
+    tp.add_argument("--resume", action="store_true",
+                    help="resume from <output_dir>/cpt_last if present "
+                         "(cfg.train.resume; reference "
+                         "utils/exp_utils.py:152-182)")
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
     tp.add_argument("--vgg-checkpoint", default="",

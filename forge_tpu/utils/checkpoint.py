@@ -40,9 +40,19 @@ def load_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
     """Restore a checkpoint; pass `template` (matching pytree, e.g. a
     TrainState inside {'state': ...}) to recover custom node types — orbax
     restores plain dicts otherwise, which cannot be tree-mapped against
-    dataclass/namedtuple states."""
+    dataclass/namedtuple states.
+
+    The on-disk 'metadata' dict may carry extra host scalars (epoch + the
+    epoch's metric averages); the template's metadata is widened to the
+    stored keys so resume doesn't trip orbax's structure check."""
     path = os.path.abspath(path)
     if template is not None:
+        if "metadata" in template:
+            stored = _checkpointer().metadata(path)
+            meta_keys = stored.item_metadata.tree.get("metadata", {})
+            template = dict(template)
+            template["metadata"] = {
+                k: template["metadata"].get(k, 0.0) for k in meta_keys}
         return _checkpointer().restore(path, item=template)
     return _checkpointer().restore(path)
 
