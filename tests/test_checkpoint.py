@@ -113,13 +113,17 @@ def test_trainstate_restore_with_template(tmp_path):
                        batch_stats={"bn": jnp.zeros(2)},
                        opt_state=tx.init(params))
     path = str(tmp_path / "cpt_last")
-    CKPT.save_checkpoint(path, state, {"epoch": 3})
+    # metadata carries epoch + the epoch's metric averages (run.py saves
+    # {"epoch": epoch, **avg}); the narrower resume template must widen to
+    # the stored keys or orbax's structure check rejects it
+    CKPT.save_checkpoint(path, state, {"epoch": 3, "loss": 0.5})
 
     restored = CKPT.load_checkpoint(
         path, template={"state": jax.device_get(state), "metadata": {"epoch": 0}})
     rs = restored["state"]
     assert isinstance(rs, TrainState)
     assert int(restored["metadata"]["epoch"]) == 3
+    assert abs(float(restored["metadata"]["loss"]) - 0.5) < 1e-9
     # restored state is usable by the optimizer
     grads = {"w": jnp.ones((3, 2))}
     updates, _ = tx.update(grads, rs.opt_state, rs.params)
