@@ -31,9 +31,14 @@ SCALE = "small" if "--scale" not in sys.argv else sys.argv[
 # degree checkpoints; render stages cost ~2 s/step at b=4.
 if SCALE == "full":
     SEQS = 128
-    EPOCHS = dict(gt=40, p3d=200, p2d=200, head=60, pose=60, joint=30)
+    # pose-estimator steps are ~90 ms (no renders): run them long — the
+    # estimators need tens of thousands of steps to descend toward the
+    # reference's ~10 degree checkpoints (kubric_train_joint.py:92-95)
+    EPOCHS = dict(gt=40, p3d=800, p2d=800, head=100, pose=100, joint=30)
+    VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=25, pose=25, joint=10)
 else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
+    VAL_EVERY = {k: 2 for k in EPOCHS}
 
 ENV = dict(os.environ)
 # share rendered synthetic scenes across the 6 per-step processes
@@ -88,28 +93,32 @@ if SCALE == "full":
 # kernel on TPU). Train-time visualization limited to once per 200 iters
 # (each vis is a host matplotlib round trip). --resume makes every stage
 # restartable from its cpt_last (crash recovery; completed stages skip).
-common = ["--synthetic", "--synthetic-seqs", str(SEQS), "--val-every", "10",
+common = ["--synthetic", "--synthetic-seqs", str(SEQS),
           "--vis-freq", "200", "--output-dir", OUT, "--resume"]
 if SCALE != "full":
-    common += ["--batch-size", "1", "--img-size", "128", "--val-every", "2"]
+    common += ["--batch-size", "1", "--img-size", "128"]
+
+
+def val(key):
+    return ["--val-every", str(VAL_EVERY[key])]
 
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
                     "--family", "single",
-                    "--epochs", str(EPOCHS["gt"])] + common)
+                    "--epochs", str(EPOCHS["gt"])] + common + val("gt"))
 gt_cpt = cpt("gt_pose")
 
 # step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1
 run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
                     "--family", "single",
                     "--epochs", str(EPOCHS["p3d"]),
-                    "--load", f"encoder_3d,render={gt_cpt}"] + common)
+                    "--load", f"encoder_3d,render={gt_cpt}"] + common + val("p3d"))
 p3d_cpt = cpt("pred_pose_3d")
 
 # step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
 run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
                   "--family", "pose2d",
-                  "--epochs", str(EPOCHS["p2d"])] + common)
+                  "--epochs", str(EPOCHS["p2d"])] + common + val("p2d"))
 p2d_cpt = cpt("pred_pose_2d")
 
 # step 3.1: fused pose head (pretrain_pose_2d3d.yaml)
@@ -119,14 +128,14 @@ run("3.1 pose_head", ["train", "--cfg",
                       "--epochs", str(EPOCHS["head"]),
                       "--load", f"encoder_3d,render={gt_cpt}",
                       "--load", f"encoder_traj={p3d_cpt}",
-                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common)
+                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common + val("head"))
 head_cpt = cpt("pretrain_pose_2d3d")
 
 # step 3.2: pose (pred_pose_2d3d.yaml)
 run("3.2 pose", ["train", "--cfg", "configs/kubric/pred_pose_2d3d.yaml",
                  "--family", "full",
                  "--epochs", str(EPOCHS["pose"]),
-                 "--load", f"*={head_cpt}"] + common)
+                 "--load", f"*={head_cpt}"] + common + val("pose"))
 pose_cpt = cpt("pred_pose_2d3d")
 
 # step 3.3: joint (joint_pose_2d3d.yaml) — drop fusion, re-load gt encoder
@@ -134,7 +143,7 @@ run("3.3 joint", ["train", "--cfg", "configs/kubric/joint_pose_2d3d.yaml",
                   "--family", "full",
                   "--epochs", str(EPOCHS["joint"]),
                   "--load", f"*={pose_cpt};drop=encoder_3d/fusion_feature",
-                  "--load", f"encoder_3d={gt_cpt}"] + common)
+                  "--load", f"encoder_3d={gt_cpt}"] + common + val("joint"))
 joint_cpt = cpt("joint_pose_2d3d")
 
 # eval harness with refinement on the synthetic test split
