@@ -36,9 +36,13 @@ if SCALE == "full":
     # reference's ~10 degree checkpoints (kubric_train_joint.py:92-95)
     EPOCHS = dict(gt=40, p3d=800, p2d=800, head=100, pose=100, joint=30)
     VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=25, pose=25, joint=10)
+    # a cpt_last save is a ~377 MB device_get (~11 s): saving every epoch
+    # would dominate the ~2 s pose-estimator epochs
+    SAVE_EVERY = dict(gt=5, p3d=25, p2d=25, head=10, pose=10, joint=2)
 else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
     VAL_EVERY = {k: 2 for k in EPOCHS}
+    SAVE_EVERY = {k: 1 for k in EPOCHS}
 
 ENV = dict(os.environ)
 # share rendered synthetic scenes across the 6 per-step processes
@@ -100,7 +104,8 @@ if SCALE != "full":
 
 
 def val(key):
-    return ["--val-every", str(VAL_EVERY[key])]
+    return ["--val-every", str(VAL_EVERY[key]),
+            "--save-every", str(SAVE_EVERY[key])]
 
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",

@@ -267,13 +267,22 @@ def cmd_train(args) -> int:
         timer = StepTimer(profile_dir=os.path.join(output_dir, "profile"))
         logger.info(f"profiling steps 10-13 -> {output_dir}/profile")
 
+    # cpt_last cadence: the reference saves every epoch
+    # (kubric_train_pose_3D.py:166), but on the relay a save is a ~377 MB
+    # device_get (~11 s) — for cheap pose-estimator epochs (~2 s) that is
+    # 5x the training time, so long stages pass --save-every N.
+    save_every = max(1, getattr(args, "save_every", 1) or 1)
+
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.end_epoch):
             state, rng, avg = train_epoch(
                 cfg, loader, state, train_step, rng, epoch, mesh=mesh,
                 logger=logger, vis_fn=vis_fn, timer=timer)
-            CKPT.save_checkpoint(os.path.join(output_dir, "cpt_last"), state,
-                                 {"epoch": epoch, **avg})
+            if ((epoch + 1) % save_every == 0
+                    or epoch == cfg.train.end_epoch - 1):
+                CKPT.save_checkpoint(
+                    os.path.join(output_dir, "cpt_last"), state,
+                    {"epoch": epoch, **avg})
             if (epoch + 1) % max(1, args.val_every) == 0:
                 vvars = {"params": state.params,
                          "batch_stats": state.batch_stats}
@@ -502,6 +511,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="resume from <output_dir>/cpt_last if present "
                          "(cfg.train.resume; reference "
                          "utils/exp_utils.py:152-182)")
+    tp.add_argument("--save-every", type=int, default=1,
+                    help="save cpt_last every N epochs (always at the last "
+                         "epoch); a save is a full-state device_get, ~11 s "
+                         "over the relay")
     tp.add_argument("--load", action="append", default=[],
                     help="subtree surgery: 'sub1,sub2=path[;drop=p1,p2]'")
     tp.add_argument("--vgg-checkpoint", default="",
