@@ -34,8 +34,8 @@ if SCALE == "full":
     # pose-estimator steps are ~90 ms (no renders): run them long — the
     # estimators need tens of thousands of steps to descend toward the
     # reference's ~10 degree checkpoints (kubric_train_joint.py:92-95)
-    EPOCHS = dict(gt=40, p3d=800, p2d=800, head=100, pose=100, joint=30)
-    VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=25, pose=25, joint=10)
+    EPOCHS = dict(gt=40, p3d=800, p2d=500, head=60, pose=60, joint=30)
+    VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=20, pose=20, joint=10)
     # a cpt_last save is a ~377 MB device_get (~11 s): saving every epoch
     # would dominate the ~2 s pose-estimator epochs
     SAVE_EVERY = dict(gt=5, p3d=25, p2d=25, head=10, pose=10, joint=2)
