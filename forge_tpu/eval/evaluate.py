@@ -406,11 +406,11 @@ def run_optimization(
                if instance_retries and variables_render is not None else None)
     # chunk the optimization into bounded device programs (the hosted TPU
     # relay kills programs running longer than ~20 s; ~480 ms/iter measured)
-    # relay budget: device programs running past ~20 s are killed; at the
-    # round-3 per-iter cost (~150-250 ms with the sparse-skip kernel) 50
-    # iterations stay safely under it while cutting the per-chunk dispatch
-    # overhead 2.5x vs the round-2 chunk of 20
-    refine_chunk = min(iter_num, int(os.environ.get("FORGE_REFINE_CHUNK", 50)))
+    # relay budget: device programs running past ~20 s are killed; with the
+    # fused-backward kernel (~60-120 ms/iter) 100 iterations stay safely
+    # under it while cutting the per-chunk dispatch overhead 5x vs the
+    # round-2 chunk of 20
+    refine_chunk = min(iter_num, int(os.environ.get("FORGE_REFINE_CHUNK", 100)))
     n_refine_chunks = max(1, -(-iter_num // refine_chunk))
     user_refiner = refiner
     refiner = refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
