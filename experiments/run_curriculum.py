@@ -34,7 +34,7 @@ if SCALE == "full":
     # pose-estimator steps are ~90 ms (no renders): run them long — the
     # estimators need tens of thousands of steps to descend toward the
     # reference's ~10 degree checkpoints (kubric_train_joint.py:92-95)
-    EPOCHS = dict(gt=40, p3d=800, p2d=500, head=60, pose=60, joint=30)
+    EPOCHS = dict(gt=40, p3d=500, p2d=500, head=60, pose=60, joint=30)
     VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=20, pose=20, joint=10)
     # a cpt_last save is a ~377 MB device_get (~11 s): saving every epoch
     # would dominate the ~2 s pose-estimator epochs
@@ -113,17 +113,21 @@ run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
                     "--epochs", str(EPOCHS["gt"])] + common + val("gt"))
 gt_cpt = cpt("gt_pose")
 
-# step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1
+# step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1.
+# lr 5e-4 is the reference's at global batch 40 (8 GPUs x 5); at single-chip
+# batch 5 the 8x-noisier gradients ran the translation head away after ~6k
+# steps (exponential trans-loss blowup despite clip 10) — 1e-4 holds stable.
 run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
                     "--family", "single",
-                    "--epochs", str(EPOCHS["p3d"]),
+                    "--epochs", str(EPOCHS["p3d"]), "--lr", "1e-4",
                     "--load", f"encoder_3d,render={gt_cpt}"] + common + val("p3d"))
 p3d_cpt = cpt("pred_pose_3d")
 
 # step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
 run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
                   "--family", "pose2d",
-                  "--epochs", str(EPOCHS["p2d"])] + common + val("p2d"))
+                  "--epochs", str(EPOCHS["p2d"]), "--lr", "1e-4"]
+    + common + val("p2d"))
 p2d_cpt = cpt("pred_pose_2d")
 
 # step 3.1: fused pose head (pretrain_pose_2d3d.yaml)
@@ -139,7 +143,7 @@ head_cpt = cpt("pretrain_pose_2d3d")
 # step 3.2: pose (pred_pose_2d3d.yaml)
 run("3.2 pose", ["train", "--cfg", "configs/kubric/pred_pose_2d3d.yaml",
                  "--family", "full",
-                 "--epochs", str(EPOCHS["pose"]),
+                 "--epochs", str(EPOCHS["pose"]), "--lr", "1e-4",
                  "--load", f"*={head_cpt}"] + common + val("pose"))
 pose_cpt = cpt("pred_pose_2d3d")
 

@@ -114,6 +114,8 @@ def cmd_train(args) -> int:
         cfg = merge_config(cfg, {"vis_freq": args.vis_freq})
     if getattr(args, "resume", False):
         cfg = merge_config(cfg, {"train": {"resume": True}})
+    if getattr(args, "lr", 0.0):
+        cfg = merge_config(cfg, {"train": {"lr": args.lr}})
     logger, output_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info(f"config: {args.cfg}; family={args.family}; "
                 f"mode={cfg.train.parameter}")
@@ -511,6 +513,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="resume from <output_dir>/cpt_last if present "
                          "(cfg.train.resume; reference "
                          "utils/exp_utils.py:152-182)")
+    tp.add_argument("--lr", type=float, default=0.0,
+                    help="override cfg.train.lr (e.g. divergence recovery "
+                         "at a lower rate, or single-chip batch retuning)")
     tp.add_argument("--save-every", type=int, default=1,
                     help="save cpt_last every N epochs (always at the last "
                          "epoch); a save is a full-state device_get, ~11 s "
