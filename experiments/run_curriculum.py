@@ -70,10 +70,27 @@ def run(tag, args):
         raise SystemExit(f"{tag} failed")
 
 
-def cpt(cfg_name):
+def cpt(cfg_name, prefer="rot"):
+    """Newest exp dir's checkpoint; prefer the best-<metric> checkpoint like
+    the reference curriculum does (its entry scripts hardcode best-metric
+    cpt names, kubric_train_joint.py:92-120), falling back to cpt_last."""
     d = os.path.join(OUT, "kubric", cfg_name)
     for exp in sorted(os.listdir(d), reverse=True) if os.path.isdir(d) else []:
-        p = os.path.join(d, exp, "cpt_last")
+        ed = os.path.join(d, exp)
+        best = None
+        if prefer:
+            cands = []
+            for f in os.listdir(ed):
+                if f.startswith(f"cpt_best_{prefer}_"):
+                    try:
+                        cands.append((float(f.rsplit("_", 1)[1]), f))
+                    except ValueError:
+                        pass
+            if cands:
+                # rot: lower is better; psnr: higher is better
+                cands.sort(reverse=(prefer == "psnr"))
+                best = os.path.join(ed, cands[0][1])
+        p = best or os.path.join(ed, "cpt_last")
         if os.path.exists(p):
             return p
     raise FileNotFoundError(d)
@@ -111,7 +128,7 @@ def val(key):
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
                     "--family", "single",
                     "--epochs", str(EPOCHS["gt"])] + common + val("gt"))
-gt_cpt = cpt("gt_pose")
+gt_cpt = cpt("gt_pose", prefer=None)  # recon stage: last epoch
 
 # step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1.
 # lr 5e-4 is the reference's at global batch 40 (8 GPUs x 5); at single-chip
