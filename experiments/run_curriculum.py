@@ -34,11 +34,11 @@ if SCALE == "full":
     # pose-estimator steps are ~90 ms (no renders): run them long — the
     # estimators need tens of thousands of steps to descend toward the
     # reference's ~10 degree checkpoints (kubric_train_joint.py:92-95)
-    EPOCHS = dict(gt=40, p3d=500, p2d=500, head=60, pose=60, joint=30)
-    VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=20, pose=20, joint=10)
+    EPOCHS = dict(gt=40, p3d=500, p2d=500, head=12, pose=12, joint=10)
+    VAL_EVERY = dict(gt=10, p3d=100, p2d=100, head=6, pose=6, joint=5)
     # a cpt_last save is a ~377 MB device_get (~11 s): saving every epoch
     # would dominate the ~2 s pose-estimator epochs
-    SAVE_EVERY = dict(gt=5, p3d=25, p2d=25, head=10, pose=10, joint=2)
+    SAVE_EVERY = dict(gt=5, p3d=25, p2d=25, head=6, pose=6, joint=2)
 else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
     VAL_EVERY = {k: 2 for k in EPOCHS}
@@ -179,6 +179,6 @@ run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
              "--output-dir", OUT,
              "--checkpoint", joint_cpt,
              "--render-checkpoint", gt_cpt,
-             "--iter-num", "500", "--max-instances", "8"])
+             "--iter-num", "200", "--max-instances", "4"])
 
 print("\ncurriculum complete; checkpoints under", OUT, flush=True)
