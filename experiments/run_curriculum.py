@@ -59,7 +59,15 @@ ENV.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 ENV.setdefault("FORGE_DEVICE_LOADER", "1")
 
 
-def run(tag, args):
+def run(tag, args, done_key=None):
+    # completion markers: a resumed-but-complete stage still pays ~5 min of
+    # init + checkpoint restore before its empty epoch loop; the marker
+    # makes curriculum relaunches O(seconds) per finished stage
+    marker = (os.path.join(OUT, f".done_{done_key}_{EPOCHS[done_key]}")
+              if done_key else None)
+    if marker and os.path.exists(marker):
+        print(f"\n=== {tag}: already complete ({marker})", flush=True)
+        return
     t0 = time.time()
     cmd = [sys.executable, "-m", "forge_tpu.run"] + args
     print(f"\n=== {tag}: {' '.join(cmd)}", flush=True)
@@ -68,6 +76,8 @@ def run(tag, args):
           flush=True)
     if r.returncode != 0:
         raise SystemExit(f"{tag} failed")
+    if marker:
+        open(marker, "w").write("done")
 
 
 def cpt(cfg_name, prefer="rot"):
@@ -127,7 +137,7 @@ def val(key):
 # step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
                     "--family", "single",
-                    "--epochs", str(EPOCHS["gt"])] + common + val("gt"))
+                    "--epochs", str(EPOCHS["gt"])] + common + val("gt"), done_key="gt")
 gt_cpt = cpt("gt_pose", prefer=None)  # recon stage: last epoch
 
 # step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1.
@@ -137,14 +147,14 @@ gt_cpt = cpt("gt_pose", prefer=None)  # recon stage: last epoch
 run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
                     "--family", "single",
                     "--epochs", str(EPOCHS["p3d"]), "--lr", "1e-4",
-                    "--load", f"encoder_3d,render={gt_cpt}"] + common + val("p3d"))
+                    "--load", f"encoder_3d,render={gt_cpt}"] + common + val("p3d"), done_key="p3d")
 p3d_cpt = cpt("pred_pose_3d")
 
 # step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
 run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
                   "--family", "pose2d",
                   "--epochs", str(EPOCHS["p2d"]), "--lr", "1e-4"]
-    + common + val("p2d"))
+    + common + val("p2d"), done_key="p2d")
 p2d_cpt = cpt("pred_pose_2d")
 
 # step 3.1: fused pose head (pretrain_pose_2d3d.yaml)
@@ -154,14 +164,14 @@ run("3.1 pose_head", ["train", "--cfg",
                       "--epochs", str(EPOCHS["head"]),
                       "--load", f"encoder_3d,render={gt_cpt}",
                       "--load", f"encoder_traj={p3d_cpt}",
-                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common + val("head"))
+                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common + val("head"), done_key="head")
 head_cpt = cpt("pretrain_pose_2d3d")
 
 # step 3.2: pose (pred_pose_2d3d.yaml)
 run("3.2 pose", ["train", "--cfg", "configs/kubric/pred_pose_2d3d.yaml",
                  "--family", "full",
                  "--epochs", str(EPOCHS["pose"]), "--lr", "1e-4",
-                 "--load", f"*={head_cpt}"] + common + val("pose"))
+                 "--load", f"*={head_cpt}"] + common + val("pose"), done_key="pose")
 pose_cpt = cpt("pred_pose_2d3d")
 
 # step 3.3: joint (joint_pose_2d3d.yaml) — drop fusion, re-load gt encoder
@@ -169,7 +179,7 @@ run("3.3 joint", ["train", "--cfg", "configs/kubric/joint_pose_2d3d.yaml",
                   "--family", "full",
                   "--epochs", str(EPOCHS["joint"]),
                   "--load", f"*={pose_cpt};drop=encoder_3d/fusion_feature",
-                  "--load", f"encoder_3d={gt_cpt}"] + common + val("joint"))
+                  "--load", f"encoder_3d={gt_cpt}"] + common + val("joint"), done_key="joint")
 joint_cpt = cpt("joint_pose_2d3d")
 
 # eval harness with refinement on the synthetic test split
