@@ -86,8 +86,11 @@ def _measure_forward(backend: str):
     from forge_tpu.models import TrainFlags
 
     cfg, model, sample, variables = _setup(backend)
-    fn = jax.jit(lambda s: model.apply(variables, s, TrainFlags.none()))
-    return _time_best(fn, (sample,))
+    # variables must be an ARGUMENT: closing over ~377 MB of (random,
+    # incompressible) weights embeds them in the relay compile request,
+    # which 413s above ~300 MB (OPTIMIZATION.md round-3 findings)
+    fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()))
+    return _time_best(fn, (variables, sample))
 
 
 def _measure_refine(backend: str, chunk: int = 10):
@@ -174,9 +177,9 @@ def main():
 
             for b in (4, 8):
                 cfg, model, sample, variables = _setup(best_backend, b=b)
-                fn = jax.jit(lambda s: model.apply(variables, s,
-                                                   TrainFlags.none()))
-                dtb = _time_best(fn, (sample,), n_iter=3)
+                fn = jax.jit(lambda v, s: model.apply(v, s,
+                                                      TrainFlags.none()))
+                dtb = _time_best(fn, (variables, sample), n_iter=3)
                 ops = b / dtb
                 extra[f"objects_per_sec_b{b}"] = round(ops, 3)
                 if ops > objects_per_sec:
