@@ -14,6 +14,7 @@ GT-pose step is ~2 s.
 Usage:  python experiments/run_curriculum.py [outdir] [--scale small|full]
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -62,9 +63,15 @@ ENV.setdefault("FORGE_DEVICE_LOADER", "1")
 def run(tag, args, done_key=None):
     # completion markers: a resumed-but-complete stage still pays ~5 min of
     # init + checkpoint restore before its empty epoch loop; the marker
-    # makes curriculum relaunches O(seconds) per finished stage
-    marker = (os.path.join(OUT, f".done_{done_key}_{EPOCHS[done_key]}")
-              if done_key else None)
+    # makes curriculum relaunches O(seconds) per finished stage. Keyed by a
+    # hash of the FULL stage command (plus SEQS): rerunning after changing
+    # any stage hyperparameter (--lr, batch, img size, scene count, ...)
+    # must re-train the stage, not silently reuse a stale checkpoint.
+    arghash = hashlib.sha1(
+        repr((args, SEQS)).encode()).hexdigest()[:10] if done_key else None
+    marker = (os.path.join(
+        OUT, f".done_{done_key}_{EPOCHS[done_key]}_{arghash}")
+        if done_key else None)
     if marker and os.path.exists(marker):
         print(f"\n=== {tag}: already complete ({marker})", flush=True)
         return

@@ -357,6 +357,49 @@ def visualize_360_all(model, variables, entry, camK, cfg, output_dir, name,
                           combination=list(comb))
 
 
+def brick_coverage_guard(model, cfg, sample):
+    """Check the pallas kernel's brick envelope against real eval cameras.
+
+    The fused kernel shares one fixed-size voxel brick per ray tile; cameras
+    whose tile frusta span more voxels than the brick (wide FOV, very close
+    orbits, or refinement wandering beyond the training distribution) lose
+    tent weight SILENTLY (ops/ray_march_pallas.py:check_brick_coverage). The
+    measured flagship envelope has ~0.5 voxel z-margin, so enforcement
+    belongs at runtime, not only in tests. Checks this instance's cameras
+    plus a 0.8x-radius excursion (refinement moving cameras closer enlarges
+    the per-tile footprint) and returns (model, cfg) rebuilt onto the 'xla'
+    renderer when the envelope is exceeded, else (None, None).
+    """
+    from forge_tpu.config import merge_config
+    from forge_tpu.ops.ray_march import pallas_supports, resolve_backend
+    from forge_tpu.ops.ray_march_pallas import check_brick_coverage
+
+    half = cfg.dataset.img_size // 2
+    D = cfg.dataset.img_size // 4
+    if (resolve_backend(cfg.render.backend) != "pallas"
+            or not pallas_supports((1, D, D, D, 16), half)):
+        return None, None   # pallas never engages; nothing to guard
+    K = np.asarray(sample["K_cv2"], np.float64).reshape(-1, 3, 3) / 2.0
+    K[:, 2, 2] = 1.0
+    extr = np.asarray(
+        sample.get("cam_extrinsics_cv2_canonicalized",
+                   sample["cam_extrinsics_cv2"]), np.float64).reshape(-1, 4, 4)
+    r = cfg.render
+    ok = True
+    for f in (1.0, 0.8):
+        out = check_brick_coverage(
+            K, extr[:, :3, :3], extr[:, :3, 3] * f, half, r.n_pts_per_ray,
+            r.min_depth, r.max_depth, r.volume_size, D)
+        ok = ok and out["ok"]
+    if ok:
+        return None, None
+    print("brick_coverage_guard: eval cameras exceed the pallas brick "
+          f"envelope ({out['need']} vs {out['brick']}); falling back to the "
+          "xla renderer for this eval run")
+    new_cfg = merge_config(cfg, {"render": {"backend": "xla"}})
+    return model.clone(cfg=new_cfg), new_cfg
+
+
 def run_optimization(
     model: FORGE, variables, loader, cfg: Config, output_dir: str,
     refiner: Optional[Callable] = None,
@@ -405,12 +448,20 @@ def run_optimization(
     host_vr = (jax.tree.map(np.asarray, variables_render)
                if instance_retries and variables_render is not None else None)
     # chunk the optimization into bounded device programs (the hosted TPU
-    # relay kills programs running longer than ~20 s; ~480 ms/iter measured)
-    # relay budget: device programs running past ~20 s are killed; with the
-    # fused-backward kernel (~60-120 ms/iter) 100 iterations stay safely
-    # under it while cutting the per-chunk dispatch overhead 5x vs the
-    # round-2 chunk of 20
-    refine_chunk = min(iter_num, int(os.environ.get("FORGE_REFINE_CHUNK", 100)))
+    # relay kills programs running longer than ~20 s). The safe default
+    # depends on the resolved render backend: the fused pallas backward runs
+    # ~60-120 ms/iter (100 iters ≈ 6-12 s, safely under the kill budget and
+    # 5x less dispatch than the round-2 chunk of 20); the xla/packed gather
+    # paths run ~480 ms/iter, where a 100-iter chunk (~48 s) would be killed.
+    from forge_tpu.ops.ray_march import pallas_supports, resolve_backend
+
+    _d = cfg.dataset.img_size // 4   # render volume = 2x the raw img/8 grid,
+    _fast_bwd = (                    # 16 features (models/encoder.py heads)
+        resolve_backend(cfg.render.backend) == "pallas"
+        and pallas_supports((1, _d, _d, _d, 16), cfg.dataset.img_size // 2)
+    )
+    refine_chunk = min(iter_num, int(os.environ.get(
+        "FORGE_REFINE_CHUNK", 100 if _fast_bwd else 20)))
     n_refine_chunks = max(1, -(-iter_num // refine_chunk))
     user_refiner = refiner
     refiner = refiner or jax.jit(make_refiner(model, cfg, refine_chunk))
@@ -422,6 +473,7 @@ def run_optimization(
         lpips_fn = lpips_builder()
     pose_log = {}
     done = 0
+    coverage_checked = False
 
     def recover() -> bool:
         """Re-upload weights and rebuild jitted closures after a device
@@ -461,6 +513,26 @@ def run_optimization(
         done += 1
         seen = (float(np.asarray(sample["seen_flag"]).ravel()[0]) > 0
                 if "seen_flag" in sample else True)
+
+        if not coverage_checked:
+            # The pallas kernel's fixed brick sizes silently drop tent weight
+            # for cameras outside the measured envelope; enforce coverage
+            # against this eval's ACTUAL camera distribution (with a
+            # refinement-excursion margin) before the first render, falling
+            # back to the xla renderer when the envelope is exceeded.
+            coverage_checked = True
+            g_model, g_cfg = brick_coverage_guard(model, cfg, sample)
+            if g_model is not None:
+                model, cfg = g_model, g_cfg
+                refine_chunk = min(iter_num, int(os.environ.get(
+                    "FORGE_REFINE_CHUNK", 20)))
+                n_refine_chunks = max(1, -(-iter_num // refine_chunk))
+                refiner = user_refiner or jax.jit(
+                    make_refiner(model, cfg, refine_chunk))
+                renderer = make_eval_renderer(model)
+                encode = jax.jit(
+                    lambda v, x: model.apply(
+                        v, x, method=model.encode_and_predict_poses))
 
         for attempt in range(instance_retries + 1):
             try:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from forge_tpu.nn.layers import TorchConv, TorchConvTranspose, TorchBatchNorm, leaky_relu
-from forge_tpu.ops.ray_march import render_volume, resolve_backend
+from forge_tpu.ops.ray_march import (
+    pallas_supports, render_volume, resolve_backend)
 from forge_tpu.geometry.cameras import project_points_screen
 
 Dtype = Any
@@ -87,6 +88,13 @@ class VolRender(nn.Module):
         K = halve_intrinsics(camera_params["K"])
         R, T = camera_params["R"], camera_params["T"]
         backend = resolve_backend(self.backend)
+        if backend == "pallas" and not pallas_supports(feature_3d.shape, half):
+            # the kernel's shape envelope (cubic volume, D in [32,128],
+            # lane-aligned channels, rows % 8) — resolve the fallback HERE,
+            # before the cpv/chunk decisions below, so an out-of-envelope
+            # config never reaches the kernel with 'pallas' already baked in
+            # (render_volume's own fallback only triggers on literal 'auto')
+            backend = "xla"
 
         B = K.shape[0]
         V = feature_3d.shape[0]

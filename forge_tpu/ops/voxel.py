@@ -13,6 +13,7 @@ S=32, volume_size=1.0 (reference: models/rotate.py:23).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from forge_tpu.geometry.rotations import se3_inverse
 from forge_tpu.ops.grid_sample import grid_sample_3d
@@ -93,8 +94,13 @@ def rotate_voxel_grids(
     return jnp.concatenate([voxels[:, 0:1], sampled], axis=1)
 
 
-CV2_TO_TORCH3D = jnp.diag(jnp.asarray([-1.0, -1.0, 1.0, 1.0]))
-"""Frame fix used by the every2 variant (reference: dataset/kubric.py:92-95)."""
+CV2_TO_TORCH3D = np.diag(np.asarray([-1.0, -1.0, 1.0, 1.0], np.float32))
+"""Frame fix used by the every2 variant (reference: dataset/kubric.py:92-95).
+
+A numpy constant on purpose: a module-level jnp array dispatches an eager op
+to the default backend at import time, which crashes every importer when the
+TPU client is broken (libtpu version skew took down the round-3 multichip
+dryrun via exactly this line)."""
 
 
 def _resample_all(voxels: jnp.ndarray, T: jnp.ndarray,
