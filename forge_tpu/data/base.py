@@ -38,13 +38,26 @@ def canonical_cameras(camera_z: float):
     return pose, extr
 
 
+IMAGENET_MEAN = np.array([0.4850, 0.4560, 0.4060], np.float32)
+IMAGENET_STD = np.array([0.2290, 0.2240, 0.2250], np.float32)
+
+
+def normalize_imagenet(rgb: np.ndarray) -> np.ndarray:
+    """ImageNet-normalize channels-last rgb in [0,1] (the reference's
+    train.normalize_img option, dataset/kubric.py:432-437)."""
+    return (rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+
 def load_rgba_frame(
-    path: str, img_size: int, mask_images: bool, premultiply_mask: bool = False
+    path: str, img_size: int, mask_images: bool, premultiply_mask: bool = False,
+    normalize_img: bool = False,
 ):
     """RGBA png -> (rgb [H,W,3], mask [H,W,1]) float32 in [0,1].
 
     White background when not masking, black otherwise; LANCZOS ('ANTIALIAS')
     resize for rgb, NEAREST for mask (reference: dataset/kubric.py:410-430).
+    normalize_img: ImageNet-normalize the rgb after assembly (reference:
+    dataset/kubric.py:432-437 — applied identically by all three loaders).
 
     Set FORGE_NATIVE_IO=1 to decode through the C++ forge_io library
     (multi-threaded batch decode on multi-core hosts; falls back here).
@@ -57,6 +70,8 @@ def load_rgba_frame(
             rgb_np, mask_np = out
             if premultiply_mask:
                 rgb_np = rgb_np * mask_np
+            if normalize_img:
+                rgb_np = normalize_imagenet(rgb_np)
             return rgb_np, mask_np
     img_pil = Image.open(path)
     arr = np.asarray(img_pil)
@@ -78,6 +93,8 @@ def load_rgba_frame(
     mask_np = np.asarray(mask, dtype=np.float32)[..., None]       # [H,W,1]
     if premultiply_mask:
         rgb_np = rgb_np * mask_np
+    if normalize_img:
+        rgb_np = normalize_imagenet(rgb_np)
     return rgb_np, mask_np
 
 

@@ -57,7 +57,8 @@ class GSODataset(FrameSequenceDataset):
         imgs, masks, depths = [], [], []
         for i in chosen:
             path = os.path.join(seq_path, rgb_files[i])
-            rgb, mask = load_rgba_frame(path, img_size, cfg.dataset.mask_images)
+            rgb, mask = load_rgba_frame(path, img_size, cfg.dataset.mask_images,
+                                        normalize_img=cfg.train.normalize_img)
             imgs.append(rgb)
             masks.append(mask)
             dp = path.replace("rgba", "depth").replace("png", "tiff")

@@ -147,7 +147,8 @@ class KubricDataset(FrameSequenceDataset):
         imgs, masks, depths = [], [], []
         for i in chosen:
             path = os.path.join(seq_path, rgb_files[i])
-            rgb, mask = load_rgba_frame(path, img_size, cfg.dataset.mask_images)
+            rgb, mask = load_rgba_frame(path, img_size, cfg.dataset.mask_images,
+                                        normalize_img=cfg.train.normalize_img)
             d = self._load_depth(path, sensor_width, focal_norm, mask)
             imgs.append(rgb)
             masks.append(mask)

@@ -93,6 +93,7 @@ class OmniObject3DDataset(FrameSequenceDataset):
             rgb, mask = load_rgba_frame(
                 os.path.join(imgs_path, rgb_files[i]), img_size,
                 cfg.dataset.mask_images, premultiply_mask=cfg.dataset.mask_images,
+                normalize_img=cfg.train.normalize_img,
             )
             imgs.append(rgb)
             masks.append(mask)

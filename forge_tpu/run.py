@@ -275,13 +275,28 @@ def cmd_train(args) -> int:
     # 5x the training time, so long stages pass --save-every N.
     save_every = max(1, getattr(args, "save_every", 1) or 1)
 
+    # The reference derives the epoch budget from train.total_iteration
+    # (end_ep = total_iteration // steps_per_epoch + 1,
+    # kubric_train_pose_3D.py:147) — its yaml end_epoch is dead config. The
+    # published training budgets are iteration counts, so honor the same
+    # derivation; an explicit --epochs flag wins (end_epoch already carries
+    # it via the merge above), else take the tighter of the two bounds.
+    steps_per_epoch = max(1, len(loader))
+    end_epoch = cfg.train.end_epoch
+    if not args.epochs and cfg.train.total_iteration > 0:
+        end_epoch = min(
+            end_epoch, cfg.train.total_iteration // steps_per_epoch + 1)
+    logger.info(f"epoch budget: {end_epoch} "
+                f"({steps_per_epoch} steps/epoch; total_iteration "
+                f"{cfg.train.total_iteration}, end_epoch {cfg.train.end_epoch})")
+
     with jax.set_mesh(mesh):
-        for epoch in range(start_epoch, cfg.train.end_epoch):
+        for epoch in range(start_epoch, end_epoch):
             state, rng, avg = train_epoch(
                 cfg, loader, state, train_step, rng, epoch, mesh=mesh,
                 logger=logger, vis_fn=vis_fn, timer=timer)
             if ((epoch + 1) % save_every == 0
-                    or epoch == cfg.train.end_epoch - 1):
+                    or epoch == end_epoch - 1):
                 CKPT.save_checkpoint(
                     os.path.join(output_dir, "cpt_last"), state,
                     {"epoch": epoch, **avg})
@@ -328,6 +343,13 @@ def cmd_eval(args) -> int:
         st = src["state"]
         variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
         logger.info(f"loaded checkpoint {args.checkpoint}")
+    elif getattr(args, "torch_checkpoint", ""):
+        # one-command released-weights eval (reference: kubric_eval.py:606-621
+        # loads .pth.tar training checkpoints directly)
+        from forge_tpu.utils.convert_forge import load_torch_checkpoint_file
+
+        variables = load_torch_checkpoint_file(args.torch_checkpoint)
+        logger.info(f"converted torch checkpoint {args.torch_checkpoint}")
     lpips_builder = None
     lpips_label = "lpips"
     if args.lpips:
@@ -369,6 +391,13 @@ def cmd_eval(args) -> int:
         variables_render = {"params": st["params"],
                             "batch_stats": st["batch_stats"]}
         logger.info(f"rendering with {args.render_checkpoint} (--model_gt)")
+    elif getattr(args, "torch_render_checkpoint", ""):
+        from forge_tpu.utils.convert_forge import load_torch_checkpoint_file
+
+        variables_render = load_torch_checkpoint_file(
+            args.torch_render_checkpoint)
+        logger.info(f"rendering with converted torch checkpoint "
+                    f"{args.torch_render_checkpoint} (--model_gt)")
 
     outfile = run_optimization(
         model, variables, loader, cfg, output_dir,
@@ -443,6 +472,19 @@ def cmd_demo(args) -> int:
         variables = _init_variables(
             model, cfg, ge.synthetic_sample(cfg, b=1, t_all=10), cfg.seed)
 
+    # Dual-model rendering (reference: demo.py:218-234 + README.md:99): pose
+    # prediction and refinement use the joint checkpoint, but its fusion
+    # degenerates after joint finetuning — the turntable fuse/render uses the
+    # GT-pose model's weights while consuming the JOINT encoder's raw
+    # feature volumes (exactly the reference's model/model_gt split; the
+    # reference's `del encoder_traj.out.*` surgery is unnecessary here
+    # because only the fuse/render subtrees of vr are ever applied).
+    vr = variables
+    if getattr(args, "render_checkpoint", ""):
+        st = CKPT.load_checkpoint(args.render_checkpoint)["state"]
+        vr = {"params": st["params"], "batch_stats": st["batch_stats"]}
+        logger.info(f"rendering with {args.render_checkpoint} (demo model_gt)")
+
     encode = jax.jit(
         lambda v, x: model.apply(v, x, method=model.encode_and_predict_poses))
     features_raw, poses_cam, _ = encode(variables, jnp.asarray(clips))
@@ -471,7 +513,7 @@ def cmd_demo(args) -> int:
     render = jax.jit(lambda v, fr, pv, k, ne, nk: model.apply(
         v, fr, pv, k, TrainFlags.none(), False, ne, nk,
         method=model.fuse_render_from_rel))
-    imgs, _ = render(variables, features_raw, refined, jnp.asarray(K),
+    imgs, _ = render(vr, features_raw, refined, jnp.asarray(K),
                      jnp.asarray(extr), jnp.asarray(nvs_K))
     path = vis_nvs(np.asarray(imgs), "demo_360", output_dir)
     logger.info(f"wrote {path}")
@@ -561,6 +603,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--render-checkpoint", default="",
                     help="second checkpoint whose fusion/render weights are "
                          "used for rendering (reference --model_gt)")
+    ep.add_argument("--torch-checkpoint", default="",
+                    help="released reference .pth(.tar) checkpoint; converted "
+                         "inline (utils/convert_forge.py) — the one-command "
+                         "released-weights eval path")
+    ep.add_argument("--torch-render-checkpoint", default="",
+                    help="released reference .pth(.tar) for the --model_gt "
+                         "render weights, converted inline")
     ep.set_defaults(fn=cmd_eval)
 
     dp = sub.add_parser("demo")
@@ -568,6 +617,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     dp.add_argument("--checkpoint", default="")
     dp.add_argument("--images", default="")
     dp.add_argument("--iter-num", type=int, default=2000)
+    dp.add_argument("--render-checkpoint", default="",
+                    help="second checkpoint whose fusion/render weights draw "
+                         "the turntable (the reference demo's model_gt, "
+                         "demo.py:218-234)")
     dp.set_defaults(fn=cmd_demo)
 
     rp = sub.add_parser("readout")

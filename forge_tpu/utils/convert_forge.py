@@ -290,3 +290,25 @@ def convert_forge_checkpoint(sd: Arrays, strict: bool = False) -> Dict:
             raise KeyError(f"{len(leftovers)} unmapped reference keys, e.g. "
                            f"{leftovers[:8]}")
     return {"params": b.params, "batch_stats": b.stats}
+
+
+def load_torch_checkpoint_file(path: str, strict: bool = False) -> Dict:
+    """One-command released-checkpoint loader: .pth(.tar) file -> variables.
+
+    Handles everything between "file on disk" and a ready {params,
+    batch_stats} tree, matching the reference's loading conventions
+    (utils/exp_utils.py:140-147): torch.load on CPU, an optional
+    {'state_dict': ...} training-checkpoint wrapper, the DDP 'module.'
+    prefix, and tensor->numpy conversion, then the declarative key map
+    (convert_forge_checkpoint). Used by `run.py eval --torch-checkpoint`.
+    """
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw["state_dict"] if isinstance(raw, dict) and "state_dict" in raw else raw
+    flat = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        flat[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return convert_forge_checkpoint(flat, strict=strict)

@@ -100,3 +100,46 @@ def test_forge_converter_covers_full_tree():
         for k in want:
             assert np.shape(got[k]) == np.shape(want[k]), (
                 coll, k, np.shape(got[k]), np.shape(want[k]))
+
+
+def test_torch_checkpoint_file_one_command_path(tmp_path):
+    """The file-on-disk glue for `run.py eval --torch-checkpoint`: torch.load,
+    the {'state_dict': ...} wrapper, the DDP 'module.' prefix, and
+    tensor->numpy — everything the reference does when loading a released
+    .pth.tar (utils/exp_utils.py:140-147)."""
+    import torch
+
+    from forge_tpu.utils.convert_forge import load_torch_checkpoint_file
+
+    rng = np.random.RandomState(3)
+    conv_w = rng.randn(64, 3, 7, 7).astype(np.float32)
+    lin_w = rng.randn(512, 2048).astype(np.float32)
+    lin_b = rng.randn(512).astype(np.float32)
+    bn = {s: rng.randn(64).astype(np.float32)
+          for s in ("weight", "bias", "running_mean", "running_var")}
+    sd = {
+        "module.encoder_3d.feature_extraction.0.weight": torch.from_numpy(conv_w),
+        "module.encoder_traj.out.0.weight": torch.from_numpy(lin_w),
+        "module.encoder_traj.out.0.bias": torch.from_numpy(lin_b),
+        **{f"module.encoder_3d.feature_extraction.1.{s}": torch.from_numpy(v)
+           for s, v in bn.items()},
+    }
+    path = tmp_path / "cpt_best_psnr_31.8.pth.tar"
+    torch.save({"state_dict": sd, "epoch": 7}, str(path))
+
+    variables = load_torch_checkpoint_file(str(path))
+    p = traverse_util.flatten_dict(variables["params"], sep="/")
+    s = traverse_util.flatten_dict(variables["batch_stats"], sep="/")
+    # conv OIHW -> HWIO
+    np.testing.assert_array_equal(
+        p["encoder_3d/feature_extraction/conv1/Conv_0/kernel"],
+        np.transpose(conv_w, (2, 3, 1, 0)))
+    # linear [out,in] -> [in,out]
+    np.testing.assert_array_equal(
+        p["encoder_traj/out_fc1/kernel"], lin_w.T)
+    np.testing.assert_array_equal(p["encoder_traj/out_fc1/bias"], lin_b)
+    # bn weight->scale, running stats land in batch_stats
+    np.testing.assert_array_equal(
+        p["encoder_3d/feature_extraction/bn1/scale"], bn["weight"])
+    np.testing.assert_array_equal(
+        s["encoder_3d/feature_extraction/bn1/mean"], bn["running_mean"])

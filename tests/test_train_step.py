@@ -69,8 +69,12 @@ def test_train_step_joint_updates_only_trainable():
 
 @pytest.mark.slow
 def test_train_step_gt_pose_single_on_mesh():
-    cfg, model, step_def, sample, state, tx = _setup("all", "single", b=8, t_all=5)
-    mesh = make_mesh(8)
+    # 4-device submesh of the 8 virtual devices: same SPMD semantics
+    # (sharding, grad psum, SyncBN pmean) at half the single-core compute —
+    # this test executes real conv stacks on 1-2 physical cores and its
+    # runtime is execution-bound, not compile-bound (round-3 verdict #7).
+    cfg, model, step_def, sample, state, tx = _setup("all", "single", b=4, t_all=5)
+    mesh = make_mesh(4)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, repl)
