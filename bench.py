@@ -70,6 +70,18 @@ def _setup(backend: str, b: int = 1):
     # (sparse object scenes; faster).
     cpt = os.environ.get("FORGE_BENCH_CHECKPOINT", "")
     variables = ge.bench_variables(model, sample)
+    # Round-4 honesty fix: random weights do NOT decode a dense volume — the
+    # density head's ReLU left the round-3 bench volumes ~EMPTY (positive
+    # fraction ~1e-5, measured), so the renderer's empty-brick skip was
+    # benchmarking an empty scene while claiming "dense worst case". Bias the
+    # density head positive so the decoded volume is genuinely dense —
+    # measured within 1% of a 15%-occupancy object blob on the fused kernel
+    # (experiments round 4), i.e. the honest object-scene upper bound.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: x + 0.5
+        if ("dh_conv2" in "/".join(str(p) for p in path)
+            and "bias" in str(path[-1])) else x,
+        variables)
     if cpt:
         from forge_tpu.utils import checkpoint as CKPT
 

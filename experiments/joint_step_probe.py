@@ -63,6 +63,22 @@ def main():
 
     report("FULL joint step", full, (sample, jax.random.PRNGKey(1)))
 
+    # loss-forward only (no backward, no optimizer): how much of the step
+    # is the forward graph vs AD + update
+    import forge_tpu.train.losses as L
+
+    def fwd_loss(v, s, r):
+        outs, _ = model.apply(
+            v, s, step_def.flags, method=model.forward_full,
+            mutable=["batch_stats"], rngs={"dropout": r})
+        imgs, masks, origin_proj, cam_pose_return = outs
+        loss, _ = L.all_loss_nvs(cfg, imgs, masks, origin_proj,
+                                 cam_pose_return, s, None)
+        return loss
+
+    report("FULL fwd (loss only)", jax.jit(fwd_loss),
+           (variables, sample, jax.random.PRNGKey(1)))
+
     clips5 = jnp.asarray(sample["images"][:, :5])
 
     # ---- encode (20 ResNet passes + Conv3d lift) ----
@@ -85,7 +101,8 @@ def main():
     def p3d(v, f):
         return model.apply(
             v, f, method=lambda m, ff: m.encoder_traj(
-                ff, True, return_features=True))
+                ff, True, return_features=True),
+            mutable=["batch_stats"])[0]
 
     def p3d_loss(v, f):
         return jnp.sum(jnp.square(p3d(v, f)))
@@ -97,7 +114,8 @@ def main():
     def p2d(v, c):
         return model.apply(
             v, c, method=lambda m, cc: m.encoder_traj_2d(
-                cc, True, return_features=True))
+                cc, True, return_features=True),
+            mutable=["batch_stats"])[0]
 
     def p2d_loss(v, c):
         return jnp.sum(jnp.square(p2d(v, c)))

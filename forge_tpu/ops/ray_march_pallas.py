@@ -103,24 +103,26 @@ def _ray_march_kernel(
     def iota_f(n):
         return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
 
-    iota_z = iota_f(bz)
-    iota_h = iota_f(BH)
-    iota_x = iota_f(BX)
     iota_w = iota_f(D)  # full width for the density pass
 
-    def expand_mat(n, m, div):
-        """[n, n*m]: E[i, j] = ((j // div if div else j % m) == i)."""
-        j = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 1)
-        i = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 0)
-        key = (j // div) if div else (j % n)
-        return (key == i).astype(jnp.float32)
+    # Expanded-layout iotas: column j of the [*, bz*BH] zh space indexes
+    # voxel (z = j // BH, h = j % BH); column j of the [*, BX*C] xc space
+    # indexes x = j // C. Tent weights are evaluated DIRECTLY in these
+    # layouts on the VPU — the round-3 kernel built narrow [*, bz/BH/BX]
+    # tents and broadcast them with three 0/1 "expand" matmuls, each of
+    # which costs a full 128-lane MXU K-pass for K = 16..24 useful lanes:
+    # those expands were 18 of the kernel's 48 MXU pass-units, as many as
+    # the real volume contraction m1. Direct evaluation moves that work to
+    # VPU elementwise ops (~0.6 us/group) that overlap with the MXU.
+    def iota2(n_cols, div, mod):
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+        j = (j // div) if div > 1 else j
+        j = (j % mod) if mod else j
+        return j.astype(jnp.float32)
 
-    # x-tent expansion [BX, BX*C]: E[i, j] = (j // C == i)
-    expand_x = expand_mat(BX, C, C)
-    # z/y expansions building ohzy[r, z*BH + h] = wz[r,z] * wy[r,h] without a
-    # sublane->lane reshape (Mosaic rejects that shape cast)
-    expand_z = expand_mat(bz, BH, BH)          # [bz, bz*BH], key j // BH
-    expand_y = expand_mat(BH, bz, 0)           # [BH, bz*BH], key j % BH
+    iota_zh_z = iota2(bz * BH, BH, 0)
+    iota_zh_y = iota2(bz * BH, 1, BH)
+    iota_xc_x = iota2(BX * C, C, 0)
     # channel select [BX*C, C]: Sel[j, c] = (j % C == c)
     jc = jax.lax.broadcasted_iota(jnp.int32, (BX * C, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (BX * C, C), 1)
@@ -181,11 +183,13 @@ def _ray_march_kernel(
 
         def live(carry):
             acc_feat, acc_depth, transmittance, survive_all = carry
-            wz = cat([tent(z, dbase, iota_z) for z in izs])     # [spi*R, bz]
-            wy = cat([tent(y, hbase, iota_h) for y in iys])     # [spi*R, BH]
-            wx = cat([tent(x, xbase, iota_x) for x in ixs])     # [spi*R, BX]
             wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
                            for x in ixs])                       # [spi*R, D]
+            # separable tents evaluated directly in the expanded zh / xc
+            # layouts (see iota2 above): pure VPU, no expand matmuls
+            ohzy = cat([tent(z, dbase, iota_zh_z) * tent(y, hbase, iota_zh_y)
+                        for z, y in zip(izs, iys)])            # [spi*R, bz*BH]
+            wx_rep = cat([tent(x, xbase, iota_xc_x) for x in ixs])
 
             # MXU contractions run in mm_dtype (bf16 in production: ~4x the
             # f32 MXU rate; tent weights are in [0, 1] so bf16 costs ~2^-8
@@ -193,15 +197,11 @@ def _ray_march_kernel(
             # f32 accumulate.
             mm = lambda a, b: jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
                                       preferred_element_type=jnp.float32)
-            ohzy = (
-                mm(wz, expand_z) * mm(wy, expand_y)
-            )                                                  # [spi*R, bz*BH]
 
             xoff = pl.multiple_of(xbase * C, 128)  # xbase, C*8 both aligned
             fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
                               pl.ds(xoff, BX * C)]             # [bz, BH, BX*C]
             m1 = mm(ohzy, fbrick.reshape(bz * BH, BX * C))     # [spi*R, BX*C]
-            wx_rep = mm(wx, expand_x)
             feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
 
             d1 = mm(ohzy, dbrick.reshape(bz * BH, D))          # [spi*R, D]
@@ -417,11 +417,20 @@ def _iota_f(n):
     return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
 
 
-def _expand_mat(n, m, div):
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 1)
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n * m), 0)
-    key = (j // div) if div else (j % n)
-    return (key == i).astype(jnp.float32)
+def _iota2_f(n_cols, div, mod):
+    """[1, n_cols] float of (j // div)[ % mod]: the tent-axis index of each
+    column of an expanded zh (j//BH, j%BH) or xc (j//C) layout. Feeding these
+    to _tent/_dtent evaluates separable tent weights DIRECTLY in the layout
+    the volume contraction consumes — replacing the expand matmuls, whose
+    K = 16..24 0/1 operands each cost a full 128-lane MXU K-pass (18 of the
+    48 per-group MXU pass-units in the round-3 kernels) with overlappable
+    VPU elementwise work."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    if div > 1:
+        j = j // div
+    if mod:
+        j = j % mod
+    return j.astype(jnp.float32)
 
 
 def _sel_mat(bx, c):
@@ -483,13 +492,10 @@ def _ray_march_bwd_dens_kernel(
         origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
     spi = _spi(n_pts)
 
-    iota_z = _iota_f(bz)
-    iota_h = _iota_f(BH)
-    iota_x = _iota_f(BX)
     iota_w = _iota_f(D)
-    expand_x = _expand_mat(BX, C, C)
-    expand_z = _expand_mat(bz, BH, BH)
-    expand_y = _expand_mat(BH, bz, 0)
+    iota_zh_z = _iota2_f(bz * BH, BH, 0)
+    iota_zh_y = _iota2_f(bz * BH, 1, BH)
+    iota_xc_x = _iota2_f(BX * C, C, 0)
     sel = _sel_mat(BX, C)
 
     g = g_ref[0].reshape(R, C + 2)
@@ -508,6 +514,23 @@ def _ray_march_bwd_dens_kernel(
 
     mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
                                preferred_element_type=jnp.float32)
+
+    # gF replicated across the BX x-positions, hoisted out of the depth loop
+    # (gF is fixed per tile). Every quantity this kernel needs from the
+    # feature path is a ROW-DOT against gF — A = <gF, feat> and the three
+    # <gF, df/d*> camera-gradient dots — so instead of materializing feat
+    # and df via m1 = ohzy @ fbrick plus per-derivative @sel contractions
+    # (the round-3 structure: m1 + m1y + m1z + 4 sel matmuls = 78 MXU
+    # pass-units per live group), contract gF INTO the brick once:
+    #   V  = (wx_rep  * gF_xrep) @ fbrick^T   -> A     = rowsum(ohzy    * V)
+    #   Vx = (wxp_rep * gF_xrep) @ fbrick^T   -> <gF, df_dx> = rowsum(ohzy * Vx)
+    #                                          <gF, df_dy> = rowsum(ohzy_dy * V)
+    #                                          <gF, df_dz> = rowsum(ohzy_dz * V)
+    # = two 18-unit contractions (one without ray grads) and VPU rowsums.
+    gF_xrep = jax.lax.dot_general(
+        gF_rep.astype(mm_dtype), sel.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [spi*R, BX*C]
 
     def group_geo(s0):
         """Per-group geometry: coords, brick bases, and the density brick
@@ -535,13 +558,15 @@ def _ray_march_bwd_dens_kernel(
         return zs, ixs, iys, izs, dbase, hbase, xbase, dbrick
 
     def group_tents(ixs, iys, izs, dbase, hbase, xbase):
-        wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
-        wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
-        wx = cat([_tent(x, xbase, iota_x, D) for x in ixs])
+        # per-sample expanded tents (lists kept for the derivative products
+        # in the ray-grads branch)
+        tz = [_tent(z, dbase, iota_zh_z, D) for z in izs]   # [R, ZH] each
+        ty = [_tent(y, hbase, iota_zh_y, D) for y in iys]
         wx_full = cat([_tent(x, jnp.zeros((), jnp.int32), iota_w, D)
                        for x in ixs])
-        ohzy = mm(wz, expand_z) * mm(wy, expand_y)         # [spi*R, ZH]
-        return wz, wy, wx, wx_full, ohzy
+        wx_rep = cat([_tent(x, xbase, iota_xc_x, D) for x in ixs])
+        ohzy = cat([a * b for a, b in zip(tz, ty)])        # [spi*R, ZH]
+        return tz, ty, wx_full, wx_rep, ohzy
 
     def fbrick_of(dbase, hbase, xbase):
         xoff = pl.multiple_of(xbase * C, 128)
@@ -571,15 +596,18 @@ def _ray_march_bwd_dens_kernel(
             Bsuf, Q, d_o, d_d = carry                      # [R,1]x2, [R,3]x2
             T = tp_ref[0, 0, 0, pl.ds(gidx, 1), :].reshape(R, 1)
             P = tp_ref[0, 0, 0, pl.ds(n_groups + gidx, 1), :].reshape(R, 1)
-            wz, wy, wx, wx_full, ohzy = group_tents(
+            tz, ty, wx_full, wx_rep, ohzy = group_tents(
                 ixs, iys, izs, dbase, hbase, xbase)
             fbrick = fbrick_of(dbase, hbase, xbase)
             d1 = mm(ohzy, dbrick)                          # [spi*R, D]
             dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
-            m1 = mm(ohzy, fbrick)                          # [spi*R, BX*C]
-            wx_rep = mm(wx, expand_x)
-            feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
-            A_f = jnp.sum(gF_rep * feat, axis=1, keepdims=True)
+            # gF pre-contracted into the brick (see gF_xrep above):
+            # V[r, zh] = sum_xc wx_rep*gF_xrep * fbrick -> A = rowsum(ohzy*V)
+            V = jax.lax.dot_general(
+                (wx_rep * gF_xrep).astype(mm_dtype), fbrick.astype(mm_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [spi*R, bz*BH]
+            A_f = jnp.sum(ohzy * V, axis=1, keepdims=True)
 
             sigs, As, Ts, Ps = [], [], [], []
             for k in range(spi):
@@ -606,28 +634,31 @@ def _ray_march_bwd_dens_kernel(
                 cur + dd.reshape(bz, BH, D))
 
             if ray_grads:
-                wzp = cat([_dtent(z, dbase, iota_z, D) for z in izs])
-                wyp = cat([_dtent(y, hbase, iota_h, D) for y in iys])
                 wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
                                 for x in ixs])
-                ohzy_dz = mm(wzp, expand_z) * mm(wy, expand_y)
-                ohzy_dy = mm(wz, expand_z) * mm(wyp, expand_y)
+                ohzy_dz = cat([_dtent(z, dbase, iota_zh_z, D) * b_
+                               for z, b_ in zip(izs, ty)])
+                ohzy_dy = cat([a * _dtent(y, hbase, iota_zh_y, D)
+                               for a, y in zip(tz, iys)])
                 d1z = mm(ohzy_dz, dbrick)
                 d1y = mm(ohzy_dy, dbrick)
                 k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
                 dsig_dx = k1(d1 * wxp_full)                # [spi*R, 1]
                 dsig_dy = k1(d1y * wx_full)
                 dsig_dz = k1(d1z * wx_full)
-                wxp_rep = mm(cat([_dtent(x, xbase, iota_x, D) for x in ixs]),
-                             expand_x)
-                df_dx = mm(m1 * wxp_rep, sel)              # [spi*R, C]
-                df_dy = mm(mm(ohzy_dy, fbrick) * wx_rep, sel)
-                df_dz = mm(mm(ohzy_dz, fbrick) * wx_rep, sel)
+                wxp_rep = cat([_dtent(x, xbase, iota_xc_x, D) for x in ixs])
+                # <gF, df/d*> via the pre-contracted V/Vx (no m1, no df, no
+                # sel matmuls — see gF_xrep comment above)
+                Vx = jax.lax.dot_general(
+                    (wxp_rep * gF_xrep).astype(mm_dtype),
+                    fbrick.astype(mm_dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [spi*R, bz*BH]
                 w = cat(sigs) * cat(Ts)                    # [spi*R, 1]
-                gfdot = lambda df: jnp.sum(gF_rep * df, axis=1, keepdims=True)
-                gi_x = w * gfdot(df_dx) + dsig * dsig_dx
-                gi_y = w * gfdot(df_dy) + dsig * dsig_dy
-                gi_z = w * gfdot(df_dz) + dsig * dsig_dz
+                k1r = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                gi_x = w * k1r(ohzy * Vx) + dsig * dsig_dx
+                gi_y = w * k1r(ohzy_dy * V) + dsig * dsig_dy
+                gi_z = w * k1r(ohzy_dz * V) + dsig * dsig_dz
                 # chain index coords -> world point (ix = -px*scale + half)
                 dp = jnp.concatenate(
                     [-scale * gi_x, -scale * gi_y, scale * gi_z], axis=1
@@ -685,25 +716,29 @@ def _ray_march_bwd_feat_kernel(
     coords, _ = _geometry(
         origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D)
 
-    iota_z = _iota_f(bz)
-    iota_h = _iota_f(BH)
-    iota_x2 = _iota_f(BX2)
-    expand_z = _expand_mat(bz, BH, BH)
-    expand_y = _expand_mat(BH, bz, 0)
-    expand_x2 = _expand_mat(BX2, CC, CC)
+    iota_zh_z = _iota2_f(bz * BH, BH, 0)
+    iota_zh_y = _iota2_f(bz * BH, 1, BH)
+    iota_x2c_x = _iota2_f(BX2 * CC, CC, 0)
     sel2 = _sel_mat(BX2, CC)
 
     gF = g_ref[0, 0].reshape(R, CC)
     spi = _spi(n_pts)
     cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
+    # gF replicated across the BX2 x-positions, hoisted out of the depth
+    # loop: d_row = w * gF with w a per-row scalar, so the channel-replicate
+    # matmul (gF_rep @ sel2^T) is group-invariant and the per-group drep is
+    # a VPU broadcast-multiply.
+    gF_rep = cat([gF] * spi)                                # [spi*R, CC]
 
     @pl.when(jnp.logical_and(b % cpv == 0,
                              jnp.logical_and(ti == 0, tj == 0)))
     def _():
         dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
 
-    mm = lambda a, b_: jnp.dot(a.astype(mm_dtype), b_.astype(mm_dtype),
-                               preferred_element_type=jnp.float32)
+    gF_xrep = jax.lax.dot_general(
+        gF_rep.astype(mm_dtype), sel2.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [spi*R, BX2*CC]
 
     def body(it, _):
         s = it * spi
@@ -730,18 +765,12 @@ def _ray_march_bwd_feat_kernel(
         w = cat(ws)                                         # [spi*R, 1]
 
         def live(_):
-            wz = cat([_tent(z, dbase, iota_z, D) for z in izs])
-            wy = cat([_tent(y, hbase, iota_h, D) for y in iys])
-            wx2 = cat([_tent(x, xbase, iota_x2, D) for x in ixs])
-            ohzy = mm(wz, expand_z) * mm(wy, expand_y)      # [spi*R, ZH]
+            ohzy = cat([_tent(z, dbase, iota_zh_z, D)
+                        * _tent(y, hbase, iota_zh_y, D)
+                        for z, y in zip(izs, iys)])         # [spi*R, ZH]
+            wx2_rep = cat([_tent(x, xbase, iota_x2c_x, D) for x in ixs])
 
-            d_row = w * cat([gF] * spi)                     # [spi*R, CC]
-            # replicate channels across the BX2 x-positions: d_row @ sel2^T
-            drep = jax.lax.dot_general(
-                d_row.astype(mm_dtype), sel2.astype(mm_dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [spi*R, BX2*CC]
-            dm1 = drep * mm(wx2, expand_x2)                 # [spi*R, BX2*CC]
+            dm1 = (w * gF_xrep) * wx2_rep                   # [spi*R, BX2*CC]
             dfb = _mmT(ohzy, dm1, mm_dtype)                 # [bz*BH, BX2*CC]
 
             xoff = pl.multiple_of(xbase * CC, 128)
