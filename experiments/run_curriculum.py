@@ -30,7 +30,17 @@ SCALE = "small" if "--scale" not in sys.argv else sys.argv[
 # epochs per step; synthetic scenes. Pose-estimator stages are cheap (no
 # renders) and need the most steps to converge toward the reference's ~10
 # degree checkpoints; render stages cost ~2 s/step at b=4.
-if SCALE == "full":
+if SCALE == "full512":
+    # Round 4: 4x the training scenes (the round-3 2D estimator flatly
+    # memorized 128 scenes; the measured refinement basin needs < 20 degree
+    # initializations, METRICS.md). Stage 1.1 is a short continuation from a
+    # prior GT-pose checkpoint (env FORGE_GT_INIT) instead of the ~6 h
+    # from-scratch run; the data-hungry pose stages retrain from scratch.
+    SEQS = 512
+    EPOCHS = dict(gt=4, p3d=200, p2d=200, head=12, pose=60, joint=8)
+    VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=20, joint=4)
+    SAVE_EVERY = dict(gt=2, p3d=25, p2d=25, head=6, pose=10, joint=2)
+elif SCALE == "full":
     SEQS = 128
     # pose-estimator steps are ~90 ms (no renders): run them long — the
     # estimators need tens of thousands of steps to descend toward the
@@ -116,7 +126,7 @@ def cpt(cfg_name, prefer="rot"):
 # Pre-render every scene the curriculum touches into the disk cache while
 # HBM is empty: a lazy mid-training scene render (test split at the first
 # validation) OOMed the first flagship attempt at epoch 10.
-if SCALE == "full":
+if SCALE in ("full", "full512"):
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "experiments/warm_synth_cache.py", str(SEQS)],
@@ -133,7 +143,10 @@ if SCALE == "full":
 # restartable from its cpt_last (crash recovery; completed stages skip).
 common = ["--synthetic", "--synthetic-seqs", str(SEQS),
           "--vis-freq", "200", "--output-dir", OUT, "--resume"]
-if SCALE != "full":
+if SCALE == "full512":
+    common += ["--val-seqs", "128"]   # 32 val scenes; a 128-scene render
+                                      # validation would dominate the stages
+if not SCALE.startswith("full"):
     common += ["--batch-size", "1", "--img-size", "128"]
 
 
@@ -141,10 +154,15 @@ def val(key):
     return ["--val-every", str(VAL_EVERY[key]),
             "--save-every", str(SAVE_EVERY[key])]
 
-# step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml)
+# step 1.1: GT-pose reconstruction (kubric_train_pose_3D.py, gt_pose.yaml).
+# FORGE_GT_INIT: warm-start from a prior round's GT checkpoint (round-4
+# full512 continues the round-3 flagship gt model on the larger scene set).
+gt_init = os.environ.get("FORGE_GT_INIT", "")
 run("1.1 gt_pose", ["train", "--cfg", "configs/kubric/gt_pose.yaml",
                     "--family", "single",
-                    "--epochs", str(EPOCHS["gt"])] + common + val("gt"), done_key="gt")
+                    "--epochs", str(EPOCHS["gt"])]
+    + (["--load", f"*={gt_init}"] if gt_init else [])
+    + common + val("gt"), done_key="gt")
 gt_cpt = cpt("gt_pose", prefer=None)  # recon stage: last epoch
 
 # step 1.2: 3D pose estimator (pred_pose_3d.yaml), encoder from 1.1.
@@ -190,7 +208,7 @@ run("3.3 joint", ["train", "--cfg", "configs/kubric/joint_pose_2d3d.yaml",
 joint_cpt = cpt("joint_pose_2d3d")
 
 # eval harness with refinement on the synthetic test split
-eval_img = [] if SCALE == "full" else ["--img-size", "128"]
+eval_img = [] if SCALE.startswith("full") else ["--img-size", "128"]
 run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
              "--synthetic", "--synthetic-seqs", str(SEQS)] + eval_img + [
              "--output-dir", OUT,

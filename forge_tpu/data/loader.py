@@ -10,6 +10,7 @@ overlaps device steps. Device placement happens in the train loop via
 
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -138,11 +139,37 @@ class DeviceCachedLoader(Loader):
     relayout).
     """
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, compact: Optional[bool] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self._device_samples = None
         self._names = None
         self._stack = None
+        if compact is None:
+            env = os.environ.get("FORGE_DEVICE_LOADER_COMPACT", "auto")
+            if env in ("0", "1"):
+                compact = env == "1"
+            else:
+                # auto: f32 residency is ~13 MB/scene at 256^2x10; compact
+                # when the f32 cache would crowd training's HBM arena
+                compact = len(self.dataset) > 160
+        self.compact = compact
+
+    def _encode(self, s: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Lossy-but-faithful residency compression (~3.2x): images and
+        masks as uint8 (the same 1/255 granularity real PNG data has),
+        depths as float16. Poses/intrinsics stay f32. Decoded back to f32
+        on device at batch-stack time."""
+        if not self.compact:
+            return s
+        out = {}
+        for k, v in s.items():
+            if k in ("images", "fg_probabilities"):
+                out[k] = np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+            elif k == "depths":
+                out[k] = v.astype(np.float16)
+            else:
+                out[k] = v
+        return out
 
     def _ensure_device(self):
         if self._device_samples is not None:
@@ -155,12 +182,26 @@ class DeviceCachedLoader(Loader):
         for i in range(len(self.dataset)):
             s = self.dataset[i]
             names.append(s.get("seq_name", str(i)))
-            samples.append(jax.device_put(
-                {k: v for k, v in s.items() if isinstance(v, np.ndarray)}))
+            samples.append(jax.device_put(self._encode(
+                {k: v for k, v in s.items() if isinstance(v, np.ndarray)})))
         self._device_samples = samples
         self._names = names
-        self._stack = jax.jit(
-            lambda *ss: jax.tree.map(lambda *xs: jnp.stack(xs), *ss))
+
+        def stack_fn(*ss):
+            st = jax.tree.map(lambda *xs: jnp.stack(xs), *ss)
+            if not self.compact:
+                return st
+            dec = {}
+            for k, v in st.items():
+                if v.dtype == jnp.uint8:
+                    dec[k] = v.astype(jnp.float32) / 255.0
+                elif v.dtype == jnp.float16:
+                    dec[k] = v.astype(jnp.float32)
+                else:
+                    dec[k] = v
+            return dec
+
+        self._stack = jax.jit(stack_fn)
 
     def __iter__(self):
         self._ensure_device()

@@ -125,14 +125,19 @@ def cmd_train(args) -> int:
 
     train_ds = _build_dataset(cfg, "train", args.synthetic,
                               args.synthetic_seqs)
-    val_ds = _build_dataset(cfg, "test", args.synthetic, args.synthetic_seqs)
-    if (args.synthetic and len(train_ds) <= 256
+    # validation set size follows train/4 unless capped (--val-seqs): at
+    # 512 train scenes a full 128-scene render-validation would dominate
+    # short epochs
+    val_n = getattr(args, "val_seqs", 0) or args.synthetic_seqs
+    val_ds = _build_dataset(cfg, "test", args.synthetic, val_n)
+    if (args.synthetic and len(train_ds) <= 1024
             and os.environ.get("FORGE_DEVICE_LOADER", "") == "1"):
         # opt-in: small synthetic sets live on-device (the relay tunnel is
         # ~7 MB/s, so per-step uploads cost seconds) — but resident scenes
         # compete with the train step's transient arena; a flagship b=4 step
         # OOMed with 32 resident 256^2 scenes, so the host loader is the
-        # default.
+        # default. Beyond ~160 scenes the loader auto-compacts residency to
+        # uint8 images / f16 depths (~3.2x; 512 scenes ~= 2 GB of 15.75).
         from forge_tpu.data import DeviceCachedLoader
 
         loader = DeviceCachedLoader(train_ds, cfg.train.batch_size,
@@ -540,6 +545,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="override cfg.output_dir")
     tp.add_argument("--synthetic-seqs", type=int, default=8,
                     help="train scenes for --synthetic (val = seqs/4)")
+    tp.add_argument("--val-seqs", type=int, default=0,
+                    help="cap the --synthetic validation set at n/4 of this "
+                         "(0 = follow --synthetic-seqs)")
     tp.add_argument("--epochs", type=int, default=0)
     tp.add_argument("--batch-size", type=int, default=0,
                     help="override cfg.train.batch_size")

@@ -183,3 +183,30 @@ def test_normalize_img_flag_changes_sample_statistics(tmp_path):
     # plain images live in [0,1]; normalized foreground must leave it
     assert plain["images"].min() >= 0.0 and plain["images"].max() <= 1.0
     assert normed["images"].min() < -0.5
+
+
+def test_device_cached_loader_compact_roundtrip():
+    """Compact residency (uint8 images/masks, f16 depths) must decode back
+    to f32 batches within quantization error and leave poses untouched."""
+    from forge_tpu.config import merge_config
+    from forge_tpu.data import SyntheticVoxelDataset
+    from forge_tpu.data.loader import DeviceCachedLoader
+
+    cfg = merge_config(tiny_cfg(), {})
+    ds = SyntheticVoxelDataset(cfg, "train", n_seqs=3, grid=8)
+    plain = DeviceCachedLoader(ds, 2, shuffle=False, compact=False)
+    comp = DeviceCachedLoader(ds, 2, shuffle=False, compact=True)
+    b0 = next(iter(plain))
+    b1 = next(iter(comp))
+    assert b1["images"].dtype == np.float32 or str(b1["images"].dtype) == "float32"
+    np.testing.assert_allclose(
+        np.asarray(b1["images"]), np.asarray(b0["images"]), atol=1.0 / 255 / 2 + 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(b1["fg_probabilities"]), np.asarray(b0["fg_probabilities"]),
+        atol=1.0 / 255 / 2 + 1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(b1["cam_poses_cv2"]), np.asarray(b0["cam_poses_cv2"]))
+    if "depths" in b0:
+        np.testing.assert_allclose(
+            np.asarray(b1["depths"]), np.asarray(b0["depths"]), rtol=1e-3,
+            atol=1e-6)
