@@ -78,21 +78,38 @@ class SyntheticVoxelDataset(FrameSequenceDataset):
         import jax
         import jax.numpy as jnp
         from forge_tpu.data import pose_np
-        from forge_tpu.ops.ray_march import render_volume_xla
+        from forge_tpu.ops.ray_march import render_volume
 
         cfg = self.cfg
         s = cfg.dataset.img_size
         if SyntheticVoxelDataset._render_jit is None:
             # jitted: eager dispatch over the TPU relay tunnel costs minutes
-            # per scene (hundreds of per-op round trips)
+            # per scene (hundreds of per-op round trips).
+            # One volume upload per scene with the per-camera broadcast ON
+            # DEVICE (the round-3 version uploaded a host-broadcast
+            # [n_views, 128^3] volume — ~250 MB through the ~10 MB/s relay
+            # tunnel, ~20 s/scene of pure upload), and the exact
+            # corner-packed gather backend instead of the xla path
+            # (measured 1.5 s vs 5.5 s warm per 10-view 256^2 scene; the
+            # fused pallas kernel is NOT eligible here: at the generator's
+            # D = 128 geometry its brick envelope is exceeded —
+            # check_brick_coverage need z 20.1 / x 27.0 vs bricks 16/24 —
+            # and it would silently drop tent weight).
+            def _fn(feat, dens, K, R, t, image_size, n_pts_per_ray,
+                    min_depth, max_depth, volume_size):
+                return render_volume(
+                    feat[None], dens[None], K, R, t, image_size,
+                    n_pts_per_ray, min_depth, max_depth, volume_size,
+                    backend="packed", cams_per_volume=R.shape[0])
+
             SyntheticVoxelDataset._render_jit = jax.jit(
-                render_volume_xla,
+                _fn,
                 static_argnames=("image_size", "n_pts_per_ray", "min_depth",
                                  "max_depth", "volume_size"))
         extr = pose_np.se3_inverse(poses.astype(np.float64)).astype(np.float32)
         out = np.asarray(SyntheticVoxelDataset._render_jit(
-            jnp.asarray(np.broadcast_to(feat[None], (poses.shape[0],) + feat.shape)),
-            jnp.asarray(np.broadcast_to(dens[None], (poses.shape[0],) + dens.shape)),
+            jnp.asarray(feat),
+            jnp.asarray(dens),
             jnp.asarray(np.broadcast_to(K[None], (poses.shape[0], 3, 3))),
             jnp.asarray(extr[:, :3, :3]),
             jnp.asarray(extr[:, :3, 3]),
