@@ -224,6 +224,7 @@ class FORGE(nn.Module):
         flags: TrainFlags,
         return_origin_proj: bool = False,
         render_depth: bool = False,
+        grad_cams_per_volume: Optional[int] = None,
     ):
         """Render [B] views of volumes [B, 64c, ...]."""
         cameras = {
@@ -236,6 +237,7 @@ class FORGE(nn.Module):
             train=flags.conv_rgb,
             render_depth=render_depth,
             return_origin_proj=return_origin_proj,
+            grad_cams_per_volume=grad_cams_per_volume,
         )
 
     def forward_pose2d(self, sample: Dict[str, jnp.ndarray], flags: TrainFlags):
@@ -421,12 +423,17 @@ class FORGE(nn.Module):
         feat, dens = self.fuse_and_decode(feats_t, flags)
 
         # one fused volume per object, rendered by its t_all target cameras
-        # (grouping resolved inside VolRender — no [b*t_all] volume broadcast)
+        # (grouping resolved inside VolRender — no [b*t_all] volume
+        # broadcast). Only the first t cameras per volume descend from
+        # predicted poses; the appended NVS cameras are sample constants, so
+        # the fused backward skips their camera-gradient contractions.
         imgs, masks, origin_proj = self.render_views(
             feat, dens,
             camE_all.reshape(b * t_all, 4, 4),
             camK_all.reshape(b * t_all, 3, 3),
             flags, return_origin_proj=True,
+            grad_cams_per_volume=(t if (not cfg.train.use_gt_pose
+                                        and t_all > t) else None),
         )
         origin_proj = 2.0 * origin_proj / cfg.dataset.img_size
 

@@ -72,6 +72,7 @@ class VolRender(nn.Module):
         camera_params: Dict[str, jnp.ndarray],
         feature_3d: jnp.ndarray,
         density_3d: jnp.ndarray,
+        grad_cams_per_volume: Optional[int] = None,
     ) -> jnp.ndarray:
         """Ray-march only: raw half-res feature images [B, S/2, S/2, C+2].
 
@@ -83,6 +84,13 @@ class VolRender(nn.Module):
         pattern, models/model.py:117-143; the pallas backend resolves the
         grouping in-kernel so the broadcast volumes and their stacked
         gradients never materialize).
+
+        grad_cams_per_volume: only the FIRST k cameras of each volume group
+        need camera gradients (the joint training graph renders t predicted
+        input views + t_all - t GT-constant NVS views per volume; the fused
+        backward's camera-gradient contractions are half its MXU work, so
+        skipping them for the constant NVS half is a real cut). None = all
+        cameras follow self.camera_grads.
         """
         half = self.img_size // 2
         K = halve_intrinsics(camera_params["K"])
@@ -110,7 +118,8 @@ class VolRender(nn.Module):
         # Rematerialize the ray march: the sampled tensor is
         # [B, half, half, n_pts, C] (~7.5 GB at the reference training batch)
         # — recompute it in the backward instead of storing it.
-        def _render(feature_3d, density_3d, K, R, T):
+        def _render(feature_3d, density_3d, K, R, T,
+                    camera_grads=self.camera_grads, cpv=cpv):
             return render_volume(
                 feature_3d, density_3d, K, R, T,
                 image_size=half,
@@ -119,9 +128,37 @@ class VolRender(nn.Module):
                 max_depth=self.max_depth,
                 volume_size=self.volume_size,
                 backend=backend,
-                camera_grads=self.camera_grads,
+                camera_grads=camera_grads,
                 cams_per_volume=cpv,
             )
+
+        k = grad_cams_per_volume
+        if (k is not None and 0 < k < cpv and backend == "pallas"
+                and self.camera_grads):
+            # split marches: first k cameras of each group with camera
+            # gradients, the trailing constant cameras without; one decode
+            # batch downstream keeps reference BN parity (finish() is
+            # unchanged). Outputs re-interleaved to the caller's order.
+            def part(x, sl):
+                return x.reshape((V, cpv) + x.shape[1:])[:, sl].reshape(
+                    (-1,) + x.shape[1:])
+
+            raw1 = _render(feature_3d, density_3d, part(K, slice(0, k)),
+                           part(R, slice(0, k)), part(T, slice(0, k)),
+                           camera_grads=True, cpv=k)
+            raw2 = _render(feature_3d, density_3d, part(K, slice(k, cpv)),
+                           part(R, slice(k, cpv)), part(T, slice(k, cpv)),
+                           camera_grads=False, cpv=cpv - k)
+            raw = jnp.concatenate(
+                [raw1.reshape((V, k) + raw1.shape[1:]),
+                 raw2.reshape((V, cpv - k) + raw2.shape[1:])], axis=1
+            ).reshape((B,) + raw1.shape[1:])
+            if self.ray_parallel:
+                from jax.sharding import PartitionSpec as P
+
+                raw = jax.lax.with_sharding_constraint(
+                    raw, P(None, "ray", None, None))
+            return raw
 
         # Chunk cameras through lax.map: the render backward materializes an
         # f32 gradient of the packed corner table per chunk (~5.4 GB for 20
@@ -177,12 +214,14 @@ class VolRender(nn.Module):
         train: bool = False,
         render_depth: bool = False,
         return_origin_proj: bool = False,
+        grad_cams_per_volume: Optional[int] = None,
     ):
         """March + decode. See `march` for volume/camera grouping semantics.
 
         Returns (imgs [B,S,S,3], masks [B,S,S,1][, depth][, origin_proj]).
         """
-        raw = self.march(camera_params, feature_3d, density_3d)
+        raw = self.march(camera_params, feature_3d, density_3d,
+                         grad_cams_per_volume=grad_cams_per_volume)
         return self.finish(raw, camera_params, train,
                            render_depth=render_depth,
                            return_origin_proj=return_origin_proj)

@@ -250,3 +250,57 @@ def test_brick_coverage_flagship_envelope():
         K, jnp.asarray(extr[:, :3, :3]), jnp.asarray(extr[:, :3, 3]),
         img, 64, 0.5, 2.0, 1.0, 64)
     assert out["ok"], out
+
+
+def test_volrender_grad_cams_split_matches_unsplit():
+    """VolRender.march with grad_cams_per_volume=k must produce the same
+    forward raws and the same gradients wrt volumes and the first-k cameras
+    as the unsplit all-camera-grads march (the joint graph skips the camera
+    gradients of its GT-constant NVS tail, models/forge.py render_views)."""
+    import flax.linen as fnn
+
+    from forge_tpu.models.renderer import VolRender
+
+    rng = np.random.RandomState(5)
+    V, cpv, k, S, img = 2, 4, 2, 32, 64
+    feats = jnp.asarray(rng.rand(V, S, S, S, 16).astype(np.float32))
+    dens = jnp.asarray((rng.rand(V, S, S, S, 1) * 0.4).astype(np.float32))
+    B = V * cpv
+    f = 1.1 * img
+    K = jnp.asarray(np.tile(np.array(
+        [[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1)))
+    R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    t = jnp.asarray(
+        np.array([0, 0, 1.5], np.float32) + 0.02 * rng.randn(B, 3).astype(np.float32))
+
+    vr = VolRender(img_size=img, n_pts_per_ray=16, backend="pallas",
+                   camera_grads=True)
+    variables = vr.init(jax.random.PRNGKey(0),
+                        {"K": K, "R": R, "T": t}, feats, dens)
+
+    def raw_of(split):
+        def fn(f_, d_, t_):
+            out = vr.apply(
+                variables, {"K": K, "R": R, "T": t_}, f_, d_,
+                method=vr.march,
+                grad_cams_per_volume=k if split else None)
+            return jnp.sum(out ** 2), out
+        return fn
+
+    (l1, o1), g1 = jax.value_and_grad(raw_of(False), argnums=(0, 1, 2),
+                                      has_aux=True)(feats, dens, t)
+    (l2, o2), g2 = jax.value_and_grad(raw_of(True), argnums=(0, 1, 2),
+                                      has_aux=True)(feats, dens, t)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               atol=1e-5, rtol=1e-5)
+    for name, a, b in zip(("d_feat", "d_dens"), g2[:2], g1[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+    # camera grads: identical on the first k of each group, exactly zero on
+    # the constant tail
+    gt1 = np.asarray(g1[2]).reshape(V, cpv, 3)
+    gt2 = np.asarray(g2[2]).reshape(V, cpv, 3)
+    np.testing.assert_allclose(gt2[:, :k], gt1[:, :k], atol=1e-4, rtol=1e-4)
+    assert np.abs(gt1[:, k:]).max() > 0      # unsplit computes them
+    np.testing.assert_array_equal(gt2[:, k:], 0.0)   # split skips them
