@@ -27,6 +27,8 @@
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <deque>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -167,11 +169,28 @@ ResampleKernel build_kernel(int in_size, int out_size) {
   return k;
 }
 
+// Per-(in,out)-size kernel cache: a training epoch resizes thousands of
+// same-shaped frames, and rebuilding the Lanczos taps (sin/divisions per
+// tap) per image was ~10% of the native path's time. Tiny map, mutex-
+// guarded (the batch worker pool calls concurrently).
+const ResampleKernel& cached_kernel(int in_size, int out_size) {
+  static std::mutex mu;
+  // deque: references to existing entries stay valid while the cache grows
+  // (worker threads hold them across the resize loops)
+  static std::deque<std::pair<uint64_t, ResampleKernel>> cache;
+  uint64_t key = ((uint64_t)in_size << 32) | (uint32_t)out_size;
+  std::lock_guard<std::mutex> lock(mu);
+  for (auto& e : cache)
+    if (e.first == key) return e.second;
+  cache.emplace_back(key, build_kernel(in_size, out_size));
+  return cache.back().second;
+}
+
 // float planar resize along both axes (separable)
 void resize_lanczos(const float* in, int in_h, int in_w, int ch, float* out,
                     int out_h, int out_w) {
-  ResampleKernel kx = build_kernel(in_w, out_w);
-  ResampleKernel ky = build_kernel(in_h, out_h);
+  const ResampleKernel& kx = cached_kernel(in_w, out_w);
+  const ResampleKernel& ky = cached_kernel(in_h, out_h);
   // horizontal pass: [in_h, out_w, ch]
   std::vector<float> tmp((size_t)in_h * out_w * ch);
   for (int y = 0; y < in_h; y++) {
