@@ -71,9 +71,109 @@ def _bz(D: int) -> int:
     return 16 if D >= 64 else BZ
 
 
+def _group_meta(origins, dirs, dens_vol, image_size, n_pts,
+                min_depth, max_depth, cmax, D, cpv, skip_empty):
+    """XLA-side per-(camera, tile, depth-group) brick metadata.
+
+    Precomputes, OUTSIDE the kernels, everything the kernels' per-group
+    dead path used to derive on-core: the (d, h, x) brick bases and the
+    empty-brick occupancy gate. In-kernel these cost a vector min-reduce +
+    scalar extraction per axis per group (~0.4 us/group even for groups the
+    skip then drops — the dominant per-group floor on sparse scenes,
+    OPTIMIZATION.md round-4 #5); as a host-graph precompute they are a few
+    tiny fused XLA ops per render and reach the kernels as SMEM scalars.
+
+    Exactness: bases here are floor(min)-1 of the per-group sample-coord
+    minimum, evaluated at the group's two endpoint depths only (the coords
+    are affine in depth, so interior samples can undercut the endpoint min
+    by at most ~2 ulp of fp error — absorbed by the >= 0.4-voxel brick
+    envelope slack that check_brick_coverage asserts). Occupancy is the max
+    of the density volume over the EXACT (bz, BH, full-W) window the kernel
+    fetches, so occ == 0 iff the kernel's max(dbrick) gate would skip.
+
+    Returns int32 [B * nt * nt, 1, G * 8]; per group g, columns 8g..8g+4 =
+    (dbase, hbase, xbase(BX,8), xbase2(BX2,16), occ).
+    """
+    B = dirs.shape[0]
+    spi = _spi(n_pts)
+    G = n_pts // spi
+    bz = _bz(D)
+    nt = image_size // TILE
+    step = (max_depth - min_depth) / (n_pts - 1)
+    scale = 0.5 * (D - 1) / cmax
+    half = 0.5 * (D - 1)
+
+    # group endpoint sample indices [G, 2] -> depths [2G]
+    import numpy as np
+    s_ends = np.stack([np.arange(G) * spi, np.arange(G) * spi + spi - 1], 1)
+    z_ends = jnp.asarray(min_depth + step * s_ends.reshape(-1),
+                         dtype=jnp.float32)                  # [2G]
+
+    flipscale = jnp.asarray([-scale, -scale, scale], jnp.float32)
+
+    def tile_min_at(z):
+        # per-pixel index coords at depth z, min-reduced over each 8x8 tile
+        # (sequential lax.map over the 2G depths keeps the peak intermediate
+        # at one [B, img, img, 3] instead of 2G of them)
+        p = origins[:, None, None, :] + z * dirs               # [B,img,img,3]
+        idx = p * flipscale + half
+        return idx.reshape(B, nt, TILE, nt, TILE, 3).min(axis=(2, 4))
+
+    mins = jax.lax.map(tile_min_at, z_ends)                  # [2G,B,nt,nt,3]
+    gmin = mins.reshape(G, 2, B, nt, nt, 3).min(axis=1)      # [G,B,nt,nt,3]
+    gmin = jnp.moveaxis(gmin, 0, 3)                          # [B,nt,nt,G,3]
+
+    def base(coord, width, align):
+        raw = jnp.floor(coord).astype(jnp.int32) - 1
+        if align > 1:
+            raw = (raw // align) * align
+        return jnp.clip(raw, 0, D - width)
+
+    xmin, ymin, zmin = gmin[..., 0], gmin[..., 1], gmin[..., 2]
+    dbase = base(zmin, bz, 1)
+    hbase = base(ymin, BH, 8)
+    xbase = base(xmin, BX, 8)
+    xbase2 = base(xmin, BX2, 16)
+
+    if skip_empty:
+        # occupancy of the exact (bz, BH, W) window the kernels fetch
+        dmax = dens_vol.astype(jnp.float32).max(axis=3)      # [V, D, H]
+        wmax = jax.lax.reduce_window(
+            dmax, -jnp.inf, jax.lax.max,
+            (1, bz, BH), (1, 1, 1), "valid")                 # [V,D-bz+1,H-BH+1]
+        nh = D - BH + 1
+        flat = wmax.reshape(wmax.shape[0], -1)
+        cam = jnp.arange(B, dtype=jnp.int32) // cpv          # [B]
+        lin = dbase * nh + hbase                             # [B,nt,nt,G]
+        occ = (flat[cam[:, None, None, None], lin] > 0).astype(jnp.int32)
+    else:
+        occ = jnp.ones(dbase.shape, jnp.int32)
+
+    zero = jnp.zeros(dbase.shape, jnp.int32)
+    meta = jnp.stack(
+        [dbase, hbase, xbase, xbase2, occ, zero, zero, zero], axis=-1)
+    # [rows, 1, G*8]: Mosaic requires the last two block dims to be
+    # (divisible by (8, 128)) OR equal to the array dims — blocking only the
+    # leading row axis satisfies the "equal" clause for any G
+    return meta.reshape(B * nt * nt, 1, G * 8)
+
+
+def _meta_spec(nt, G, grid4=False):
+    """SMEM BlockSpec for the _group_meta array: one (1, 1, G*8) row per
+    program (see _group_meta for the shape rationale)."""
+    if grid4:
+        return pl.BlockSpec((1, 1, G * 8),
+                            lambda n, b, i, j: (b * nt * nt + i * nt + j, 0, 0),
+                            memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1, 1, G * 8),
+                        lambda b, i, j: (b * nt * nt + i * nt + j, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _ray_march_kernel(
     origin_ref,    # SMEM [B, 3]
     dirs_ref,      # VMEM [1, TILE, TILE, 128] (3 used)
+    meta_ref,      # SMEM [1, 1, G*8] per-group brick bases + occupancy
     feat_ref,      # VMEM [1, D, H, W*C] bf16
     dens_ref,      # VMEM [1, D, H, W] bf16
     out_ref,       # VMEM [1, TILE, TILE, C + 2]
@@ -152,37 +252,30 @@ def _ray_march_kernel(
             tp_ref[0, 0, 0, pl.ds(it, 1), :] = carry[2].reshape(1, R)
             tp_ref[0, 0, 0, pl.ds(n_groups + it, 1), :] = carry[3].reshape(1, R)
         s = it * spi
-        z0 = min_depth + step * s
-        zs = [z0 + step * k for k in range(spi)]
-        # per-sample [R] coordinate vectors; only 2-D tent matrices are
-        # concatenated (sublane axis) — Mosaic cannot concatenate 1-D
-        # vectors beyond one 128-lane tile
-        ixs, iys, izs = [], [], []
-        for zk in zs:
-            ixs.append(-(ox + zk * dirs[:, 0]) * scale + half)  # W axis [R]
-            iys.append(-(oy + zk * dirs[:, 1]) * scale + half)  # H axis
-            izs.append((oz + zk * dirs[:, 2]) * scale + half)   # D axis
-
-        def base_of(coords, width, align):
-            m = coords[0]
-            for c in coords[1:]:
-                m = jnp.minimum(m, c)
-            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
-            if align > 1:
-                raw = (raw // align) * align
-            return jnp.clip(raw, 0, D - width)
-
-        dbase = base_of(izs, bz, 1)
-        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
-        xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
+        # brick bases + occupancy from the host-side precompute (SMEM
+        # scalars): the dead path of a skipped group is just these reads
+        # plus the cond — no coordinate math, no vector reductions, no
+        # density fetch (_group_meta)
+        dbase = meta_ref[0, 0, it * 8 + 0]
+        hbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 1], 8)
+        xbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 2], 8)
+        occ = meta_ref[0, 0, it * 8 + 4]
 
         def cat(mats):
             return mats[0] if spi == 1 else jnp.concatenate(mats, axis=0)
 
-        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]  # [bz,BH,D]
-
         def live(carry):
             acc_feat, acc_depth, transmittance, survive_all = carry
+            zs = [min_depth + step * (s + k) for k in range(spi)]
+            # per-sample [R] coordinate vectors; only 2-D tent matrices are
+            # concatenated (sublane axis) — Mosaic cannot concatenate 1-D
+            # vectors beyond one 128-lane tile
+            ixs, iys, izs = [], [], []
+            for zk in zs:
+                ixs.append(-(ox + zk * dirs[:, 0]) * scale + half)  # W [R]
+                iys.append(-(oy + zk * dirs[:, 1]) * scale + half)  # H
+                izs.append((oz + zk * dirs[:, 2]) * scale + half)   # D
+            dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]
             wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
                            for x in ixs])                       # [spi*R, D]
             # separable tents evaluated directly in the expanded zh / xc
@@ -223,8 +316,9 @@ def _ray_march_kernel(
         # contributes w = 0 to every sample it covers — accumulators and
         # survive_all are exactly unchanged, and transmittance differs only
         # by the dropped (1 + EA_EPS) factors (~1e-10/sample). Object scenes
-        # are mostly empty space, so this skips most tent/matmul work.
-        return jax.lax.cond(jnp.max(dbrick.astype(jnp.float32)) > 0, live, lambda c: c, carry)
+        # are mostly empty space, so this skips most tent/matmul work. The
+        # gate is the precomputed occupancy of the exact brick window.
+        return jax.lax.cond(occ > 0, live, lambda c: c, carry)
 
     init = (
         jnp.zeros((R, C), jnp.float32),
@@ -293,10 +387,14 @@ def render_volume_pallas(
     dens_vol = densities[..., 0].astype(vol_dtype)
 
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
-    # pad the direction channel dim to a full lane row
-    dirs = jnp.pad(dirs.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 125)))
     cmax = coord_grid_max(D, volume_size)
     nt = image_size // TILE
+    meta = _group_meta(
+        origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
+        image_size, n_pts_per_ray, float(min_depth), float(max_depth),
+        float(cmax), D, cpv, skip_empty)
+    # pad the direction channel dim to a full lane row
+    dirs = jnp.pad(dirs.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 125)))
 
     kernel = functools.partial(
         _ray_march_kernel,
@@ -323,6 +421,7 @@ def render_volume_pallas(
             memory_space=pltpu.VMEM)]
         out_shape = [out_shape, jax.ShapeDtypeStruct(
             (B, nt, nt, 2 * G, TILE * TILE), jnp.float32)]
+    G = n_pts_per_ray // _spi(n_pts_per_ray)
     return pl.pallas_call(
         kernel,
         grid=(B, nt, nt),
@@ -330,6 +429,7 @@ def render_volume_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
+            _meta_spec(nt, G),
             # single-buffered: the volume block only changes with the camera
             # group; double buffering it would blow the 16MB VMEM budget
             pl.BlockSpec((1, D, H, W * C0),
@@ -343,7 +443,7 @@ def render_volume_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs, feat_vol, dens_vol)
+    )(origins.astype(jnp.float32), dirs, meta, feat_vol, dens_vol)
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +572,7 @@ def _mmT(a, b, mm_dtype):
 def _ray_march_bwd_dens_kernel(
     origin_ref,   # SMEM [B, 3]
     dirs_ref,     # VMEM [1, TILE, TILE, 128]
+    meta_ref,     # SMEM [1, 1, G*8] per-group brick bases + occupancy
     feat_ref,     # VMEM [1, D, H, W*C] bf16
     dens_ref,     # VMEM [1, D, H, W] bf16
     g_ref,        # VMEM [1, TILE, TILE, C + 2] f32 cotangent image
@@ -532,31 +633,6 @@ def _ray_march_bwd_dens_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [spi*R, BX*C]
 
-    def group_geo(s0):
-        """Per-group geometry: coords, brick bases, and the density brick
-        (always fetched — its max gates the empty-brick skip)."""
-        cs = [coords(s0 + k) for k in range(spi)]
-        zs = [c[0] for c in cs]
-        ixs = [c[1] for c in cs]
-        iys = [c[2] for c in cs]
-        izs = [c[3] for c in cs]
-
-        def base_of(coords_, width, align):
-            m = coords_[0]
-            for c in coords_[1:]:
-                m = jnp.minimum(m, c)
-            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
-            if align > 1:
-                raw = (raw // align) * align
-            return jnp.clip(raw, 0, D - width)
-
-        dbase = base_of(izs, bz, 1)
-        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
-        xbase = pl.multiple_of(base_of(ixs, BX, 8), 8)
-        dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                          :].reshape(bz * BH, D)
-        return zs, ixs, iys, izs, dbase, hbase, xbase, dbrick
-
     def group_tents(ixs, iys, izs, dbase, hbase, xbase):
         # per-sample expanded tents (lists kept for the derivative products
         # in the ray-grads branch)
@@ -590,23 +666,62 @@ def _ray_march_bwd_dens_kernel(
     def body2(it, carry):
         s = n_pts - spi - it * spi
         gidx = n_groups - 1 - it
-        zs, ixs, iys, izs, dbase, hbase, xbase, dbrick = group_geo(s)
+        # brick bases + occupancy precomputed host-side (_group_meta): the
+        # dead path is two SMEM reads + the cond
+        dbase = meta_ref[0, 0, gidx * 8 + 0]
+        hbase = pl.multiple_of(meta_ref[0, 0, gidx * 8 + 1], 8)
+        xbase = pl.multiple_of(meta_ref[0, 0, gidx * 8 + 2], 8)
+        occ = meta_ref[0, 0, gidx * 8 + 4]
 
         def live(carry):
             Bsuf, Q, d_o, d_d = carry                      # [R,1]x2, [R,3]x2
             T = tp_ref[0, 0, 0, pl.ds(gidx, 1), :].reshape(R, 1)
             P = tp_ref[0, 0, 0, pl.ds(n_groups + gidx, 1), :].reshape(R, 1)
+            cs = [coords(s + k) for k in range(spi)]
+            zs = [c[0] for c in cs]
+            ixs = [c[1] for c in cs]
+            iys = [c[2] for c in cs]
+            izs = [c[3] for c in cs]
             tz, ty, wx_full, wx_rep, ohzy = group_tents(
                 ixs, iys, izs, dbase, hbase, xbase)
             fbrick = fbrick_of(dbase, hbase, xbase)
-            d1 = mm(ohzy, dbrick)                          # [spi*R, D]
+            dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                              :].reshape(bz * BH, D)
+            M = spi * R
+            if ray_grads:
+                # derivative tents up-front so the density contractions
+                # (d1, d1z, d1y) run as ONE stacked matmul and the two
+                # gF-pre-contracted feature dots (V, Vx) as another —
+                # identical FLOPs, 2 MXU ops instead of 5 per live group
+                # (less per-op Mosaic overhead/latency)
+                wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
+                                for x in ixs])
+                ohzy_dz = cat([_dtent(z, dbase, iota_zh_z, D) * b_
+                               for z, b_ in zip(izs, ty)])
+                ohzy_dy = cat([a * _dtent(y, hbase, iota_zh_y, D)
+                               for a, y in zip(tz, iys)])
+                wxp_rep = cat([_dtent(x, xbase, iota_xc_x, D) for x in ixs])
+                d_all = mm(jnp.concatenate([ohzy, ohzy_dz, ohzy_dy], axis=0),
+                           dbrick)                         # [3*spi*R, D]
+                d1, d1z, d1y = d_all[:M], d_all[M:2 * M], d_all[2 * M:]
+                VVx = jax.lax.dot_general(
+                    jnp.concatenate(
+                        [wx_rep * gF_xrep, wxp_rep * gF_xrep],
+                        axis=0).astype(mm_dtype),
+                    fbrick.astype(mm_dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [2*spi*R, bz*BH]
+                V, Vx = VVx[:M], VVx[M:]
+            else:
+                d1 = mm(ohzy, dbrick)                      # [spi*R, D]
+                # gF pre-contracted into the brick (see gF_xrep above):
+                # V[r,zh] = sum_xc wx_rep*gF_xrep*fbrick -> A = rowsum(ohzy*V)
+                V = jax.lax.dot_general(
+                    (wx_rep * gF_xrep).astype(mm_dtype),
+                    fbrick.astype(mm_dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [spi*R, bz*BH]
             dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
-            # gF pre-contracted into the brick (see gF_xrep above):
-            # V[r, zh] = sum_xc wx_rep*gF_xrep * fbrick -> A = rowsum(ohzy*V)
-            V = jax.lax.dot_general(
-                (wx_rep * gF_xrep).astype(mm_dtype), fbrick.astype(mm_dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [spi*R, bz*BH]
             A_f = jnp.sum(ohzy * V, axis=1, keepdims=True)
 
             sigs, As, Ts, Ps = [], [], [], []
@@ -634,31 +749,16 @@ def _ray_march_bwd_dens_kernel(
                 cur + dd.reshape(bz, BH, D))
 
             if ray_grads:
-                wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
-                                for x in ixs])
-                ohzy_dz = cat([_dtent(z, dbase, iota_zh_z, D) * b_
-                               for z, b_ in zip(izs, ty)])
-                ohzy_dy = cat([a * _dtent(y, hbase, iota_zh_y, D)
-                               for a, y in zip(tz, iys)])
-                d1z = mm(ohzy_dz, dbrick)
-                d1y = mm(ohzy_dy, dbrick)
                 k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
                 dsig_dx = k1(d1 * wxp_full)                # [spi*R, 1]
                 dsig_dy = k1(d1y * wx_full)
                 dsig_dz = k1(d1z * wx_full)
-                wxp_rep = cat([_dtent(x, xbase, iota_xc_x, D) for x in ixs])
                 # <gF, df/d*> via the pre-contracted V/Vx (no m1, no df, no
                 # sel matmuls — see gF_xrep comment above)
-                Vx = jax.lax.dot_general(
-                    (wxp_rep * gF_xrep).astype(mm_dtype),
-                    fbrick.astype(mm_dtype),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [spi*R, bz*BH]
                 w = cat(sigs) * cat(Ts)                    # [spi*R, 1]
-                k1r = lambda a: jnp.sum(a, axis=1, keepdims=True)
-                gi_x = w * k1r(ohzy * Vx) + dsig * dsig_dx
-                gi_y = w * k1r(ohzy_dy * V) + dsig * dsig_dy
-                gi_z = w * k1r(ohzy_dz * V) + dsig * dsig_dz
+                gi_x = w * k1(ohzy * Vx) + dsig * dsig_dx
+                gi_y = w * k1(ohzy_dy * V) + dsig * dsig_dy
+                gi_z = w * k1(ohzy_dz * V) + dsig * dsig_dz
                 # chain index coords -> world point (ix = -px*scale + half)
                 dp = jnp.concatenate(
                     [-scale * gi_x, -scale * gi_y, scale * gi_z], axis=1
@@ -676,8 +776,7 @@ def _ray_march_bwd_dens_kernel(
             return carry
 
         if skip_empty:
-            return jax.lax.cond(
-                jnp.max(dbrick.astype(jnp.float32)) > 0, live, dead, carry)
+            return jax.lax.cond(occ > 0, live, dead, carry)
         return live(carry)
 
     ones = jnp.ones((R, 1), jnp.float32)
@@ -693,6 +792,7 @@ def _ray_march_bwd_dens_kernel(
 def _ray_march_bwd_feat_kernel(
     origin_ref,   # SMEM [B, 3]
     dirs_ref,     # VMEM [1, TILE, TILE, 128]
+    meta_ref,     # SMEM [1, 1, G*8] per-group brick bases + occupancy
     g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
     w_ref,        # VMEM [1, 1, 1, n_pts, R] f32 kernel A's EA-weight stash
     dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
@@ -742,46 +842,45 @@ def _ray_march_bwd_feat_kernel(
 
     def body(it, _):
         s = it * spi
-        cs = [coords(s + k) for k in range(spi)]
-        ixs = [c[1] for c in cs]
-        iys = [c[2] for c in cs]
-        izs = [c[3] for c in cs]
+        # dead path = one SMEM occupancy read + cond (occ == 0 implies
+        # kernel A stashed all-zero w rows for this group); occupied groups
+        # additionally check the stashed w rows, which also skips
+        # fully-dead rays (transmittance exhausted / object missed)
+        occ = meta_ref[0, 0, it * 8 + 4]
 
-        def base_of(coords_, width, align):
-            m = coords_[0]
-            for c in coords_[1:]:
-                m = jnp.minimum(m, c)
-            raw = jnp.floor(jnp.min(m)).astype(jnp.int32) - 1
-            if align > 1:
-                raw = (raw // align) * align
-            return jnp.clip(raw, 0, D - width)
+        def occupied(_):
+            dbase = meta_ref[0, 0, it * 8 + 0]
+            hbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 1], 8)
+            xbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 3], 16)
+            ws = [w_ref[0, 0, 0, pl.ds(s + k, 1), :].reshape(R, 1)
+                  for k in range(spi)]
+            w = cat(ws)                                     # [spi*R, 1]
 
-        dbase = base_of(izs, bz, 1)
-        hbase = pl.multiple_of(base_of(iys, BH, 8), 8)
-        xbase = pl.multiple_of(base_of(ixs, BX2, 16), 16)
+            def live(_):
+                cs = [coords(s + k) for k in range(spi)]
+                ixs = [c[1] for c in cs]
+                iys = [c[2] for c in cs]
+                izs = [c[3] for c in cs]
+                ohzy = cat([_tent(z, dbase, iota_zh_z, D)
+                            * _tent(y, hbase, iota_zh_y, D)
+                            for z, y in zip(izs, iys)])     # [spi*R, ZH]
+                wx2_rep = cat([_tent(x, xbase, iota_x2c_x, D) for x in ixs])
 
-        ws = [w_ref[0, 0, 0, pl.ds(s + k, 1), :].reshape(R, 1)
-              for k in range(spi)]
-        w = cat(ws)                                         # [spi*R, 1]
+                dm1 = (w * gF_xrep) * wx2_rep               # [spi*R, BX2*CC]
+                dfb = _mmT(ohzy, dm1, mm_dtype)             # [bz*BH, BX2*CC]
 
-        def live(_):
-            ohzy = cat([_tent(z, dbase, iota_zh_z, D)
-                        * _tent(y, hbase, iota_zh_y, D)
-                        for z, y in zip(izs, iys)])         # [spi*R, ZH]
-            wx2_rep = cat([_tent(x, xbase, iota_x2c_x, D) for x in ixs])
+                xoff = pl.multiple_of(xbase * CC, 128)
+                cur = dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                                pl.ds(xoff, BX2 * CC)]
+                dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
+                          pl.ds(xoff, BX2 * CC)] = (
+                    cur + dfb.reshape(bz, BH, BX2 * CC))
+                return 0
 
-            dm1 = (w * gF_xrep) * wx2_rep                   # [spi*R, BX2*CC]
-            dfb = _mmT(ohzy, dm1, mm_dtype)                 # [bz*BH, BX2*CC]
-
-            xoff = pl.multiple_of(xbase * CC, 128)
-            cur = dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                            pl.ds(xoff, BX2 * CC)]
-            dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                      pl.ds(xoff, BX2 * CC)] = (
-                cur + dfb.reshape(bz, BH, BX2 * CC))
+            jax.lax.cond(jnp.max(jnp.abs(w)) > 0, live, lambda _: 0, 0)
             return 0
 
-        jax.lax.cond(jnp.max(jnp.abs(w)) > 0, live, lambda _: 0, 0)
+        jax.lax.cond(occ > 0, occupied, lambda _: 0, 0)
         return 0
 
     jax.lax.fori_loop(0, n_pts // spi, body, 0)
@@ -829,10 +928,14 @@ def render_volume_pallas_bwd(
     feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
-    dirs_pad = jnp.pad(dirs.astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, 0), (0, 125)))
     cmax = coord_grid_max(D, volume_size)
     nt = image_size // TILE
+    meta = _group_meta(
+        origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
+        image_size, n_pts_per_ray, float(min_depth), float(max_depth),
+        float(cmax), D, cpv, skip_empty)
+    dirs_pad = jnp.pad(dirs.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, 0), (0, 125)))
     g = g.astype(jnp.float32)
     G = n_pts_per_ray // _spi(n_pts_per_ray)
 
@@ -850,6 +953,7 @@ def render_volume_pallas_bwd(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
+            _meta_spec(nt, G),
             pl.BlockSpec((1, D, H, W * C0),
                          lambda b, i, j: (b // cpv, 0, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1),
@@ -881,7 +985,7 @@ def render_volume_pallas_bwd(
         ],
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs_pad, feat_vol, dens_vol, g, tp)
+    )(origins.astype(jnp.float32), dirs_pad, meta, feat_vol, dens_vol, g, tp)
 
     # c-major chunked cotangent image for kernel B
     g_chunks = g[..., :C0].reshape(
@@ -901,6 +1005,7 @@ def render_volume_pallas_bwd(
             pl.BlockSpec((1, TILE, TILE, 128),
                          lambda n, b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
+            _meta_spec(nt, G, grid4=True),
             pl.BlockSpec((1, 1, TILE, TILE, CC),
                          lambda n, b, i, j: (b, n, i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -914,7 +1019,7 @@ def render_volume_pallas_bwd(
         out_shape=jax.ShapeDtypeStruct((V, NC, D, H, W * CC), jnp.float32),
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs_pad, g_chunks, w_stash)
+    )(origins.astype(jnp.float32), dirs_pad, meta, g_chunks, w_stash)
 
     d_feat = d_feat_chunks.reshape(V, NC, D, H, W, CC)
     d_feat = jnp.transpose(d_feat, (0, 2, 3, 4, 1, 5)).reshape(

@@ -45,13 +45,19 @@ def train_epoch(
         t1 = time.perf_counter()
         t_data += t1 - t0
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        # DeviceCachedLoader yields device-resident jax.Arrays; re-placing
+        # them costs a relay RPC round trip PER LEAF (~70 ms/step measured on
+        # the hosted relay at b=5 — 6x the pose-stage compute), so only host
+        # batches pay the placement + readiness sync here.
+        on_device = isinstance(next(iter(arrays.values()), None), jax.Array)
         if mesh is not None:
             from forge_tpu.parallel import shard_batch
 
             arrays = shard_batch(arrays, mesh)  # device_put with sharding
-        else:
+        elif not on_device:
             arrays = jax.device_put(arrays)
-        jax.block_until_ready(arrays)
+        if not on_device:
+            jax.block_until_ready(arrays)
         t2 = time.perf_counter()
         t_put += t2 - t1
         rng, step_rng = jax.random.split(rng)
