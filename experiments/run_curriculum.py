@@ -37,8 +37,13 @@ if SCALE == "full512":
     # prior GT-pose checkpoint (env FORGE_GT_INIT) instead of the ~6 h
     # from-scratch run; the data-hungry pose stages retrain from scratch.
     SEQS = 512
-    EPOCHS = dict(gt=4, p3d=200, p2d=200, head=12, pose=60, joint=8)
-    VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=20, joint=4)
+    # Pose-estimator budgets sized for the post-h2d-fix epoch cost (~2 s for
+    # p3d/p2d/pose once the trainer stopped re-placing device-resident
+    # batches): p3d was still descending at its round-4 epoch-200 cutoff
+    # (38.2 -> 28.2 -> 23.4 deg at 50/100/150), and the reference LR
+    # schedule's first decay lands at ~epoch 294 (30k iters / 102 steps).
+    EPOCHS = dict(gt=4, p3d=500, p2d=500, head=12, pose=200, joint=16)
+    VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=25, joint=4)
     SAVE_EVERY = dict(gt=2, p3d=25, p2d=25, head=6, pose=10, joint=2)
 elif SCALE == "full":
     SEQS = 128

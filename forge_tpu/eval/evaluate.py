@@ -414,6 +414,7 @@ def run_optimization(
     visualize_all: bool = False,
     variables_render: Optional[Dict] = None,
     instance_retries: int = 2,
+    refine_batch: int = 1,
 ) -> str:
     """Full eval loop writing results.txt (reference: kubric_eval.py:36-93).
 
@@ -435,6 +436,14 @@ def run_optimization(
     lpips_label: column name written to results.txt; pass "lpips_unit" when
     the metric runs with unit lin weights so readout never mistakes it for
     comparable LPIPS.
+
+    refine_batch: refine this many instances per jitted scan (windows padded
+    to a fixed shape). The reference refines strictly one object at a time
+    (kubric_eval.py:450-527, batch=1 loader); >1 amortizes the per-iteration
+    fuse/decode/render graph, which under-occupies the chip at b=1. Metrics
+    are identical per instance (refinement is batch-parallel); only wall
+    clock changes. Windows interact with per-instance retry by falling back
+    to per-instance refinement on a window failure.
     """
     from forge_tpu.eval.refine import make_refiner
 
@@ -505,6 +514,42 @@ def run_optimization(
                 time.sleep(wait)
         return False
 
+    pending = []
+
+    def flush_window():
+        """Batched refinement + after-eval for the queued window. A device
+        failure mid-window falls back to per-instance refinement (after one
+        recovery) so one bad instance cannot sink its window-mates."""
+        ctxs = list(pending)
+        pending.clear()
+        try:
+            refined = _refine_window(
+                refiner, vr, ctxs, n_refine_chunks, pad_to=refine_batch)
+            for ctx, r in zip(ctxs, refined):
+                _post_instance(
+                    model, vr, ctx, r, cfg, renderer, lpips_fn, visualize,
+                    visualize_all, output_dir, outfile, pose_log,
+                    lpips_label=lpips_label)
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as e:
+            print(f"batched refinement window failed ({e}); "
+                  f"falling back to per-instance")
+            if not recover():
+                print("window skipped: device recovery failed")
+                return
+            for ctx in ctxs:
+                try:
+                    r = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0]
+                    _post_instance(
+                        model, vr, ctx, r, cfg, renderer, lpips_fn,
+                        visualize, visualize_all, output_dir, outfile,
+                        pose_log, lpips_label=lpips_label)
+                except (KeyboardInterrupt, SystemExit):
+                    raise
+                except Exception as e2:
+                    print(f"{ctx['batch_idx']} skipped in fallback: {e2}")
+
     for batch_idx, sample in enumerate(loader):
         if batch_idx % split_num != exp_id:
             continue
@@ -536,12 +581,23 @@ def run_optimization(
 
         for attempt in range(instance_retries + 1):
             try:
-                _run_instance(
-                    model, variables, vr, sample, cfg, batch_idx, seen,
-                    encode, renderer, refiner, n_refine_chunks, lpips_fn,
-                    use_sync, visualize, output_dir, outfile, pose_log,
-                    lpips_label=lpips_label, visualize_all=visualize_all,
-                    sync_backend=sync_backend)
+                if refine_batch > 1:
+                    # window mode: run the per-instance phase now, queue the
+                    # context; refinement runs batched when the window fills
+                    ctx = _pre_instance(
+                        model, variables, vr, sample, cfg, batch_idx, seen,
+                        encode, renderer, lpips_fn, use_sync, visualize,
+                        visualize_all, output_dir, sync_backend=sync_backend)
+                    pending.append(ctx)
+                    if len(pending) >= refine_batch:
+                        flush_window()
+                else:
+                    _run_instance(
+                        model, variables, vr, sample, cfg, batch_idx, seen,
+                        encode, renderer, refiner, n_refine_chunks, lpips_fn,
+                        use_sync, visualize, output_dir, outfile, pose_log,
+                        lpips_label=lpips_label, visualize_all=visualize_all,
+                        sync_backend=sync_backend)
                 break
             except (KeyboardInterrupt, SystemExit):
                 raise
@@ -557,20 +613,18 @@ def run_optimization(
                         break
         np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
                               for i in pose_log for n in pose_log[i]})
+    if pending:
+        flush_window()
+        np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
+                              for i in pose_log for n in pose_log[i]})
     return outfile
 
 
-def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
-                  encode, renderer, refiner, n_refine_chunks, lpips_fn,
-                  use_sync, visualize, output_dir, outfile, pose_log,
-                  lpips_label: str = "lpips", visualize_all: bool = False,
-                  sync_backend: str = "host"):
-    """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
-
-    Split out of run_optimization so a device failure anywhere in the
-    instance can be retried as a unit (all device state it needs is
-    re-derivable from the host-side `sample`).
-    """
+def _pre_instance(model, variables, vr, sample, cfg, batch_idx, seen,
+                  encode, renderer, lpips_fn, use_sync, visualize,
+                  visualize_all, output_dir, sync_backend: str = "host"):
+    """Predict -> evaluate(before) -> sync for one instance; returns the
+    context dict consumed by refinement + `_post_instance`."""
     rd = predict_initial(model, variables, sample, cfg, jitted_encode=encode)
     best, results = evaluate_all(
         model, vr, sample, rd, cfg, renderer=renderer,
@@ -600,41 +654,75 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
         except Exception as e:  # reference: try/except fallback (:72-78)
             print(f"{batch_idx} fail to sync poses: {e}")
 
-    # refinement (jitted scan)
-    clips = np.asarray(sample["images"][:, :5])
     perm = entry["permutation"]
-    target_imgs = jnp.asarray(clips[:, perm])
-    target_masks = jnp.asarray(np.asarray(sample["fg_probabilities"][:, :5])[:, perm])
-    camK = jnp.asarray(sample["K_cv2"][:, :5])
-    cur = jnp.asarray(pose)
+    clips = np.asarray(sample["images"][:, :5])
+    return {
+        "batch_idx": batch_idx, "sample": sample, "seen": seen,
+        "entry": entry, "best": best, "before": before, "pose": pose,
+        "camK5": camK5,
+        "target_imgs": clips[:, perm],
+        "target_masks": np.asarray(
+            sample["fg_probabilities"][:, :5])[:, perm],
+        "camK": np.asarray(sample["K_cv2"][:, :5]),
+    }
+
+
+def _refine_window(refiner, vr, ctxs, n_refine_chunks, pad_to=None):
+    """Refine one or more instances' poses in a single batched scan.
+
+    The refinement graph is batch-parallel over instances (features_raw
+    stacks on the batch axis, pose vectors on their leading axis) while the
+    eval loader is batch=1 per the reference (kubric_eval.py:626-635) —
+    batching here amortizes the per-iteration fuse/decode/render cost, which
+    at b=1 under-occupies the MXU. pad_to repeats the last instance so every
+    window compiles at one shape. Returns per-instance refined pose arrays.
+    """
+    n = len(ctxs)
+    pads = (pad_to or n) - n
+    cx = ctxs + [ctxs[-1]] * pads
+    feats = jnp.concatenate(
+        [jnp.asarray(c["entry"]["features_raw"]) for c in cx], axis=0)
+    cur = jnp.concatenate([jnp.asarray(c["pose"]) for c in cx], axis=0)
+    camK = jnp.concatenate([jnp.asarray(c["camK"]) for c in cx], axis=0)
+    timgs = jnp.concatenate(
+        [jnp.asarray(c["target_imgs"]) for c in cx], axis=0)
+    tmasks = jnp.concatenate(
+        [jnp.asarray(c["target_masks"]) for c in cx], axis=0)
     opt_state = None
     for _ in range(n_refine_chunks):
-        out = refiner(
-            vr, cur, jnp.asarray(entry["features_raw"]),
-            camK, target_imgs, target_masks, opt_state,
-        )
-        cur, rmetrics, opt_state = out
+        cur, _rm, opt_state = refiner(
+            vr, cur, feats, camK, timgs, tmasks, opt_state)
     refined = np.asarray(cur)
+    per = refined.reshape(len(cx), -1, refined.shape[-1])
+    return [per[i] for i in range(n)]
+
+
+def _post_instance(model, vr, ctx, refined, cfg, renderer, lpips_fn,
+                   visualize, visualize_all, output_dir, outfile, pose_log,
+                   lpips_label: str = "lpips"):
+    """Evaluate(after) + visualization + results.txt/pose_log writes."""
+    batch_idx, sample, entry = ctx["batch_idx"], ctx["sample"], ctx["entry"]
     entry_after = dict(entry)
     entry_after["poses_cam"] = refined
     after = evaluate_canonical(
         model, vr, sample, entry_after, cfg,
         renderer=renderer, lpips_fn=lpips_fn,
-        vis=((output_dir, "after", batch_idx, best) if visualize else None))
+        vis=((output_dir, "after", batch_idx, ctx["best"])
+             if visualize else None))
     if visualize:
-        visualize_360(model, vr, entry_after, camK5, cfg,
+        visualize_360(model, vr, entry_after, ctx["camK5"], cfg,
                       output_dir, "after", batch_idx)
         _vis_poses(entry, refined, cfg, output_dir, "after", batch_idx)
     if visualize_all:
-        visualize_360_all(model, vr, entry_after, camK5, cfg, output_dir,
-                          "after_all", batch_idx)
+        visualize_360_all(model, vr, entry_after, ctx["camK5"], cfg,
+                          output_dir, "after_all", batch_idx)
 
     with open(outfile, "a+") as f:
-        for name, r in (("before", before), ("after", after)):
+        for name, r in (("before", ctx["before"]), ("after", after)):
             f.write(
                 "idx {}, seen {}, {}, psnr {}, ssim {}, {} {}, rot {}, "
                 "trans {}, depth {}\n".format(
-                    batch_idx, seen, name, r["psnr"], r["ssim"],
+                    batch_idx, ctx["seen"], name, r["psnr"], r["ssim"],
                     lpips_label, r["lpips"], r["rot_error"],
                     r["trans_error"], r["depth_error"])
             )
@@ -642,3 +730,25 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
         "before": entry["poses_cam"], "after": refined,
         "gt": np.asarray(entry["gt_poses"]),
     }
+
+
+def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
+                  encode, renderer, refiner, n_refine_chunks, lpips_fn,
+                  use_sync, visualize, output_dir, outfile, pose_log,
+                  lpips_label: str = "lpips", visualize_all: bool = False,
+                  sync_backend: str = "host"):
+    """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
+
+    Split out of run_optimization so a device failure anywhere in the
+    instance can be retried as a unit (all device state it needs is
+    re-derivable from the host-side `sample`).
+    """
+    ctx = _pre_instance(
+        model, variables, vr, sample, cfg, batch_idx, seen, encode,
+        renderer, lpips_fn, use_sync, visualize, visualize_all, output_dir,
+        sync_backend=sync_backend)
+    refined = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0]
+    _post_instance(
+        model, vr, ctx, refined, cfg, renderer, lpips_fn, visualize,
+        visualize_all, output_dir, outfile, pose_log,
+        lpips_label=lpips_label)

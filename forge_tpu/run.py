@@ -415,6 +415,7 @@ def cmd_eval(args) -> int:
         visualize=args.visualize,
         visualize_all=args.visualize_all,
         variables_render=variables_render,
+        refine_batch=args.refine_batch,
     )
     from forge_tpu.eval.readout import summarize
 
@@ -594,6 +595,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ep.add_argument("--exp-id", type=int, default=0)
     ep.add_argument("--iter-num", type=int, default=1000)
     ep.add_argument("--max-instances", type=int, default=None)
+    ep.add_argument("--refine-batch", type=int, default=1,
+                    help="refine this many instances per jitted scan "
+                    "(amortizes the b=1 fuse/render graph; metrics are "
+                    "per-instance identical, only wall clock changes)")
     ep.add_argument("--visualize", action="store_true",
                     help="write before/after 360-degree turntable GIFs and "
                          "per-canonical nvs/inputs panels")

@@ -225,6 +225,45 @@ def test_refine_and_harness_end_to_end(tmp_path):
     assert np.isfinite(float(rm2["loss_last"]))
 
 
+@pytest.mark.slow
+def test_batched_refinement_window(tmp_path):
+    """refine_batch>1 writes the same per-instance results.txt rows as the
+    per-instance path, exercising both a full window and a padded flush."""
+    import __graft_entry__ as ge
+    from forge_tpu.models import FORGE, TrainFlags
+    from forge_tpu.config import merge_config
+    from forge_tpu.data import SyntheticVoxelDataset, Loader
+    from forge_tpu.eval.refine import make_refiner
+    from forge_tpu.eval.evaluate import run_optimization
+
+    cfg = merge_config(ge.tiny_config(), {
+        "dataset": {"mask_images": False},
+        "test": {"compute_metric": True},
+    })
+    model = FORGE(cfg)
+    ds = SyntheticVoxelDataset(cfg, split="test", n_seqs=3, grid=8)
+    loader = Loader(ds, batch_size=1, drop_last=False)
+    sample0 = next(iter(loader))
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(
+            lambda s: model.init({"params": jax.random.PRNGKey(0)}, s,
+                                 TrainFlags.none())
+        )({k: v for k, v in sample0.items() if not isinstance(v, list)})
+
+    refiner = jax.jit(make_refiner(model, cfg, iter_num=2))
+    outfile = run_optimization(
+        model, variables, loader, cfg, str(tmp_path),
+        refiner=refiner, split_num=1, exp_id=0,
+        iter_num=2, max_instances=3, refine_batch=2,
+    )
+    lines = open(outfile).read().strip().splitlines()
+    assert len(lines) == 6  # 3 instances x (before, after)
+    idxs = sorted(int(ln.split(",")[0].split()[1]) for ln in lines)
+    assert idxs == [0, 0, 1, 1, 2, 2]
+    for ln in lines:
+        assert "nan" not in ln.lower()
+
+
 def test_readout_lpips_unit_label(tmp_path):
     """results.txt with the lpips_unit column parses into its own field
     (honest-LPIPS labeling; evaluate.py lpips_label)."""
