@@ -105,16 +105,20 @@ def _measure_forward(backend: str):
     return _time_best(fn, (variables, sample))
 
 
-def _measure_refine(backend: str, chunk: int = 10):
-    """ms per refinement iteration (5-view fuse+render fwd+bwd+Adam)."""
+def _measure_refine(backend: str, chunk: int = 10, b: int = 1):
+    """Seconds per refinement iteration (5-view fuse+render fwd+bwd+Adam).
+
+    b > 1 refines b objects in one batched scan (eval --refine-batch): the
+    returned value is still seconds per ITERATION of the batched step —
+    divide by b for the per-object cost."""
     from forge_tpu.eval.refine import make_refiner
 
-    cfg, model, sample, variables = _setup(backend)
+    cfg, model, sample, variables = _setup(backend, b=b)
     feats = jax.jit(
         lambda v, x: model.apply(
             v, x, False, method=lambda m, c, t: m.encode_views(c, t))
     )(variables, jnp.asarray(sample["images"][:, :5]))
-    pose = jnp.zeros((4, 7), jnp.float32).at[:, 0].set(1.0)
+    pose = jnp.zeros((4 * b, 7), jnp.float32).at[:, 0].set(1.0)
     camK = jnp.asarray(sample["K_cv2"][:, :5])
     timgs = jnp.asarray(sample["images"][:, :5])
     tmasks = jnp.asarray(sample["fg_probabilities"][:, :5])
@@ -238,6 +242,14 @@ def main():
             extra["refine_1000iter_s"] = round(refine_ms, 1)
         except Exception as e:
             extra["refine_ms_per_iter"] = f"failed: {e}"[:120]
+        try:
+            # eval --refine-batch 4: per-object refinement cost when four
+            # instances share one batched scan
+            r4 = _measure_refine(best_backend, b=4) * 1e3
+            extra["refine_ms_per_iter_b4"] = round(r4, 1)
+            extra["refine_1000iter_s_per_obj_b4"] = round(r4 / 4.0, 1)
+        except Exception as e:
+            extra["refine_ms_per_iter_b4"] = f"failed: {e}"[:120]
         try:
             extra["train_step_ms"] = round(
                 _measure_train_step(best_backend) * 1e3, 1)

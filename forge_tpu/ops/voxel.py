@@ -12,6 +12,7 @@ S=32, volume_size=1.0 (reference: models/rotate.py:23).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +67,24 @@ def rotate_voxel_grids(
     pose0 = cam_poses_cv2[:, 0:1]                                   # [B,1,4,4]
     T = pose0 @ se3_inverse(cam_poses_cv2[:, 1:])                   # [B,t-1,4,4]
 
+    src = voxels[:, 1:].reshape(B * (t - 1), D, H, W, C)
+
+    # Fused Pallas tent-contraction resample on TPU (no HBM gathers; custom
+    # VJP carries d_src and pose gradients) — the XLA packed-gather path is
+    # the fallback and the CPU/test reference.
+    import os
+
+    from forge_tpu.ops.affine_resample import (
+        affine_resample, affine_resample_supports)
+
+    if (affine_resample_supports(src.shape)
+            and jax.default_backend() == "tpu"
+            and os.environ.get("FORGE_ROTATE_PALLAS", "0") == "1"):
+        A, b = _affine_from_T(
+            T.reshape(B * (t - 1), 4, 4), D, volume_size)
+        sampled = affine_resample(src, A, b).reshape(B, t - 1, D, H, W, C)
+        return jnp.concatenate([voxels[:, 0:1], sampled], axis=1)
+
     coords = volume_coord_grid(D, volume_size, jnp.float32)          # [D,H,W,3]
     cmax = coord_grid_max(D, volume_size)
 
@@ -79,7 +98,6 @@ def rotate_voxel_grids(
     # coordinates would cost ~0.25 voxel of position precision.
     grid = (p / cmax).astype(jnp.float32)
 
-    src = voxels[:, 1:].reshape(B * (t - 1), D, H, W, C)
     # packed-corner sampler: one gathered row per voxel (8x fewer gather rows
     # than the torch-parity reference path; exact same numerics — see
     # ops/grid_sample_packed.py)
@@ -92,6 +110,29 @@ def rotate_voxel_grids(
     ).reshape(B, t - 1, D, H, W, C)
 
     return jnp.concatenate([voxels[:, 0:1], sampled], axis=1)
+
+
+def _affine_from_T(T, S: int, volume_size: float):
+    """Fold this module's world-space resample math into the INDEX-space
+    affine consumed by ops/affine_resample: source index s (x,y,z) of output
+    voxel o = (wo, ho, do) is s = A @ o + b.
+
+    Derivation: p = R c(o) + t with voxel-center coords c(o) = -half +
+    voxel * o per axis (volume_coord_grid); normalized grid g = p / cmax;
+    torch align_corners=False unnormalization i = ((g + 1) S - 1) / 2.
+    All affine, so A = (S / (2 cmax)) voxel R and
+    b = (S / (2 cmax)) (R c0 + t) + (S - 1) / 2 with c0 = (-half,)*3.
+    Differentiable w.r.t. T — pose gradients flow through here by AD.
+    """
+    rot = T[..., :3, :3].astype(jnp.float32)                 # [N, 3, 3]
+    trans = T[..., :3, 3].astype(jnp.float32)                # [N, 3]
+    voxel = volume_size / S
+    half = (S - 1) * voxel / 2.0
+    cmax = coord_grid_max(S, volume_size)                    # == half
+    m = S / (2.0 * cmax)
+    A = rot * (m * voxel)
+    b = m * (rot.sum(axis=-1) * (-half) + trans) + (S - 1) / 2.0
+    return A, b
 
 
 CV2_TO_TORCH3D = np.diag(np.asarray([-1.0, -1.0, 1.0, 1.0], np.float32))
