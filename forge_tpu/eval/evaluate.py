@@ -415,6 +415,7 @@ def run_optimization(
     variables_render: Optional[Dict] = None,
     instance_retries: int = 2,
     refine_batch: int = 1,
+    refine_multistart: bool = False,
 ) -> str:
     """Full eval loop writing results.txt (reference: kubric_eval.py:36-93).
 
@@ -523,7 +524,7 @@ def run_optimization(
         ctxs = list(pending)
         pending.clear()
         try:
-            refined = _refine_window(
+            refined, _losses = _refine_window(
                 refiner, vr, ctxs, n_refine_chunks, pad_to=refine_batch)
             for ctx, r in zip(ctxs, refined):
                 _post_instance(
@@ -540,7 +541,7 @@ def run_optimization(
                 return
             for ctx in ctxs:
                 try:
-                    r = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0]
+                    r = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0][0]
                     _post_instance(
                         model, vr, ctx, r, cfg, renderer, lpips_fn,
                         visualize, visualize_all, output_dir, outfile,
@@ -581,7 +582,7 @@ def run_optimization(
 
         for attempt in range(instance_retries + 1):
             try:
-                if refine_batch > 1:
+                if refine_batch > 1 and not refine_multistart:
                     # window mode: run the per-instance phase now, queue the
                     # context; refinement runs batched when the window fills
                     ctx = _pre_instance(
@@ -597,7 +598,8 @@ def run_optimization(
                         encode, renderer, refiner, n_refine_chunks, lpips_fn,
                         use_sync, visualize, output_dir, outfile, pose_log,
                         lpips_label=lpips_label, visualize_all=visualize_all,
-                        sync_backend=sync_backend)
+                        sync_backend=sync_backend,
+                        multistart=refine_multistart)
                 break
             except (KeyboardInterrupt, SystemExit):
                 raise
@@ -659,12 +661,37 @@ def _pre_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     return {
         "batch_idx": batch_idx, "sample": sample, "seen": seen,
         "entry": entry, "best": best, "before": before, "pose": pose,
-        "camK5": camK5,
+        "camK5": camK5, "rd": rd,
         "target_imgs": clips[:, perm],
         "target_masks": np.asarray(
             sample["fg_probabilities"][:, :5])[:, perm],
         "camK": np.asarray(sample["K_cv2"][:, :5]),
     }
+
+
+def _candidate_ctxs(ctx):
+    """Multi-start refinement candidates: one context per canonical
+    permutation from predict_initial (the best-by-rot candidate keeps its
+    possibly-synced pose). The winner is selected AFTER refinement by final
+    photometric loss against the input views — no ground truth involved —
+    so this is a pure test-time-compute extension of the reference's
+    refine-the-best-candidate flow (kubric_eval.py:412-530)."""
+    sample = ctx["sample"]
+    clips = np.asarray(sample["images"][:, :5])
+    masks = np.asarray(sample["fg_probabilities"][:, :5])
+    out = []
+    for cid in sorted(ctx["rd"].keys(), key=int):
+        entry = ctx["rd"][cid]
+        perm = entry["permutation"]
+        c = dict(ctx)
+        c["entry"] = entry
+        c["best"] = cid
+        c["pose"] = (ctx["pose"] if cid == ctx["best"]
+                     else entry["poses_cam"].copy())
+        c["target_imgs"] = clips[:, perm]
+        c["target_masks"] = masks[:, perm]
+        out.append(c)
+    return out
 
 
 def _refine_window(refiner, vr, ctxs, n_refine_chunks, pad_to=None):
@@ -689,12 +716,15 @@ def _refine_window(refiner, vr, ctxs, n_refine_chunks, pad_to=None):
     tmasks = jnp.concatenate(
         [jnp.asarray(c["target_masks"]) for c in cx], axis=0)
     opt_state = None
+    rm = {}
     for _ in range(n_refine_chunks):
-        cur, _rm, opt_state = refiner(
+        cur, rm, opt_state = refiner(
             vr, cur, feats, camK, timgs, tmasks, opt_state)
     refined = np.asarray(cur)
     per = refined.reshape(len(cx), -1, refined.shape[-1])
-    return [per[i] for i in range(n)]
+    losses = np.asarray(rm.get("loss_last_per", np.zeros(len(cx))))
+    losses = np.broadcast_to(losses, (len(cx),))
+    return [per[i] for i in range(n)], losses[:n]
 
 
 def _post_instance(model, vr, ctx, refined, cfg, renderer, lpips_fn,
@@ -736,18 +766,29 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
                   encode, renderer, refiner, n_refine_chunks, lpips_fn,
                   use_sync, visualize, output_dir, outfile, pose_log,
                   lpips_label: str = "lpips", visualize_all: bool = False,
-                  sync_backend: str = "host"):
+                  sync_backend: str = "host", multistart: bool = False):
     """One eval instance: predict -> evaluate -> sync -> refine -> evaluate.
 
     Split out of run_optimization so a device failure anywhere in the
     instance can be retried as a unit (all device state it needs is
     re-derivable from the host-side `sample`).
+
+    multistart=True refines ALL canonical-permutation candidates in one
+    batched scan and keeps the lowest final photometric loss (see
+    _candidate_ctxs).
     """
     ctx = _pre_instance(
         model, variables, vr, sample, cfg, batch_idx, seen, encode,
         renderer, lpips_fn, use_sync, visualize, visualize_all, output_dir,
         sync_backend=sync_backend)
-    refined = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0]
+    if multistart:
+        cands = _candidate_ctxs(ctx)
+        refined_list, losses = _refine_window(
+            refiner, vr, cands, n_refine_chunks)
+        win = int(np.argmin(losses))
+        ctx, refined = cands[win], refined_list[win]
+    else:
+        refined = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0][0]
     _post_instance(
         model, vr, ctx, refined, cfg, renderer, lpips_fn, visualize,
         visualize_all, output_dir, outfile, pose_log,

@@ -49,9 +49,14 @@ def make_refiner(
         )
         b, t = features_raw.shape[:2]
         hw = imgs.shape[1]
-        loss_img = jnp.mean(jnp.square(imgs - timgs.reshape(b * t, hw, hw, 3)))
-        loss_mask = jnp.mean(jnp.square(masks - tmasks.reshape(b * t, hw, hw, 1)))
-        return w_rgb * loss_img + w_mask * loss_mask, (loss_img, loss_mask)
+        # per-instance photometric losses (multi-start refinement selects
+        # the winning candidate by ITS loss, not the batch mean)
+        err_img = jnp.square(imgs - timgs.reshape(b * t, hw, hw, 3))
+        err_mask = jnp.square(masks - tmasks.reshape(b * t, hw, hw, 1))
+        per_img = jnp.mean(err_img.reshape(b, -1), axis=1)      # [b]
+        per_mask = jnp.mean(err_mask.reshape(b, -1), axis=1)
+        per = w_rgb * per_img + w_mask * per_mask
+        return jnp.mean(per), per
 
     gamma = lr_end_scale ** (1.0 / max(iter_num, 1))
     sched_rot = optax.exponential_decay(lr_rot, 1, gamma)
@@ -75,20 +80,21 @@ def make_refiner(
 
         def step(carry, _):
             params_rt, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params_rt, variables, features_raw, camK, target_imgs, target_masks
             )
             updates, opt_state = tx.update(grads, opt_state, params_rt)
             params_rt = optax.apply_updates(params_rt, updates)
-            return (params_rt, opt_state), loss
+            return (params_rt, opt_state), (loss, per)
 
-        (params_rt, opt_state), losses = jax.lax.scan(
+        (params_rt, opt_state), (losses, pers) = jax.lax.scan(
             step, (params_rt, opt_state), None, length=iter_num
         )
         quat = params_rt["rot"]
         quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
         refined = jnp.concatenate([quat, params_rt["trans"]], axis=-1)
-        return (refined, {"loss_first": losses[0], "loss_last": losses[-1]},
+        return (refined, {"loss_first": losses[0], "loss_last": losses[-1],
+                          "loss_last_per": pers[-1]},
                 opt_state)
 
     return refine

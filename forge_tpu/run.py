@@ -416,6 +416,7 @@ def cmd_eval(args) -> int:
         visualize_all=args.visualize_all,
         variables_render=variables_render,
         refine_batch=args.refine_batch,
+        refine_multistart=args.refine_multistart,
     )
     from forge_tpu.eval.readout import summarize
 
@@ -599,6 +600,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="refine this many instances per jitted scan "
                     "(amortizes the b=1 fuse/render graph; metrics are "
                     "per-instance identical, only wall clock changes)")
+    ep.add_argument("--refine-multistart", action="store_true",
+                    help="refine ALL canonical-permutation candidates in "
+                    "one batched scan and keep the lowest final photometric "
+                    "loss (test-time-compute extension of the reference's "
+                    "refine-best-candidate flow)")
     ep.add_argument("--visualize", action="store_true",
                     help="write before/after 360-degree turntable GIFs and "
                          "per-canonical nvs/inputs panels")

@@ -264,6 +264,42 @@ def test_batched_refinement_window(tmp_path):
         assert "nan" not in ln.lower()
 
 
+@pytest.mark.slow
+def test_multistart_refinement(tmp_path):
+    """--refine-multistart refines all 5 canonical candidates in one scan
+    and writes one winner per instance."""
+    import __graft_entry__ as ge
+    from forge_tpu.models import FORGE, TrainFlags
+    from forge_tpu.config import merge_config
+    from forge_tpu.data import SyntheticVoxelDataset, Loader
+    from forge_tpu.eval.refine import make_refiner
+    from forge_tpu.eval.evaluate import run_optimization
+
+    cfg = merge_config(ge.tiny_config(), {
+        "dataset": {"mask_images": False},
+        "test": {"compute_metric": True},
+    })
+    model = FORGE(cfg)
+    ds = SyntheticVoxelDataset(cfg, split="test", n_seqs=1, grid=8)
+    loader = Loader(ds, batch_size=1, drop_last=False)
+    sample0 = next(iter(loader))
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(
+            lambda s: model.init({"params": jax.random.PRNGKey(0)}, s,
+                                 TrainFlags.none())
+        )({k: v for k, v in sample0.items() if not isinstance(v, list)})
+
+    refiner = jax.jit(make_refiner(model, cfg, iter_num=2))
+    outfile = run_optimization(
+        model, variables, loader, cfg, str(tmp_path),
+        refiner=refiner, split_num=1, exp_id=0,
+        iter_num=2, max_instances=1, refine_multistart=True,
+    )
+    lines = open(outfile).read().strip().splitlines()
+    assert len(lines) == 2  # one winner: before + after
+    assert "nan" not in lines[1].lower()
+
+
 def test_readout_lpips_unit_label(tmp_path):
     """results.txt with the lpips_unit column parses into its own field
     (honest-LPIPS labeling; evaluate.py lpips_label)."""
