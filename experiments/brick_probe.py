@@ -33,6 +33,9 @@ VARIANTS = {
     "spi2":   (12, 24, 24, 2),
     "spi2b":  (14, 16, 24, 2),
     "spi1":   (10, 16, 16, 1),
+    # spi8: half the groups -> half the per-group scalar/matmul-issue
+    # overhead, +50% K FLOPs (bigger bricks); wins if overhead-dominated
+    "spi8":   (24, 32, 32, 8),
 }
 
 

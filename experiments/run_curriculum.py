@@ -42,9 +42,13 @@ if SCALE == "full512":
     # batches): p3d was still descending at its round-4 epoch-200 cutoff
     # (38.2 -> 28.2 -> 23.4 deg at 50/100/150), and the reference LR
     # schedule's first decay lands at ~epoch 294 (30k iters / 102 steps).
+    # POSE_SEQS: the render-free pose stages see 2x the scenes (scene files
+    # are cached per-index, so the render stages' first 512 stay identical;
+    # residency is ~2 GB compact u8 for 1024 image-only scenes).
     EPOCHS = dict(gt=4, p3d=500, p2d=500, head=12, pose=200, joint=16)
     VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=25, joint=4)
     SAVE_EVERY = dict(gt=2, p3d=25, p2d=25, head=6, pose=10, joint=2)
+    POSE_SEQS = 1024
 elif SCALE == "full":
     SEQS = 128
     # pose-estimator steps are ~90 ms (no renders): run them long — the
@@ -59,6 +63,11 @@ else:
     SEQS, EPOCHS = 32, dict(gt=16, p3d=8, p2d=8, head=4, pose=4, joint=8)
     VAL_EVERY = {k: 2 for k in EPOCHS}
     SAVE_EVERY = {k: 1 for k in EPOCHS}
+
+POSE_SEQS = globals().get("POSE_SEQS", SEQS)
+# pose-stage scene override appended AFTER `common` (argparse last-wins)
+pose_seqs = (["--synthetic-seqs", str(POSE_SEQS)]
+             if POSE_SEQS != SEQS else [])
 
 ENV = dict(os.environ)
 # share rendered synthetic scenes across the 6 per-step processes
@@ -134,7 +143,8 @@ def cpt(cfg_name, prefer="rot"):
 if SCALE in ("full", "full512"):
     t0 = time.time()
     r = subprocess.run(
-        [sys.executable, "experiments/warm_synth_cache.py", str(SEQS)],
+        [sys.executable, "experiments/warm_synth_cache.py",
+         str(max(SEQS, POSE_SEQS))],
         cwd="/root/repo", env=ENV)
     print(f"=== warm cache rc={r.returncode} ({time.time()-t0:.0f}s)",
           flush=True)
@@ -177,14 +187,15 @@ gt_cpt = cpt("gt_pose", prefer=None)  # recon stage: last epoch
 run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
                     "--family", "single",
                     "--epochs", str(EPOCHS["p3d"]), "--lr", "1e-4",
-                    "--load", f"encoder_3d,render={gt_cpt}"] + common + val("p3d"), done_key="p3d")
+                    "--load", f"encoder_3d,render={gt_cpt}"]
+    + common + pose_seqs + val("p3d"), done_key="p3d")
 p3d_cpt = cpt("pred_pose_3d")
 
 # step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
 run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
                   "--family", "pose2d",
                   "--epochs", str(EPOCHS["p2d"]), "--lr", "1e-4"]
-    + common + val("p2d"), done_key="p2d")
+    + common + pose_seqs + val("p2d"), done_key="p2d")
 p2d_cpt = cpt("pred_pose_2d")
 
 # step 3.1: fused pose head (pretrain_pose_2d3d.yaml)
@@ -194,14 +205,16 @@ run("3.1 pose_head", ["train", "--cfg",
                       "--epochs", str(EPOCHS["head"]),
                       "--load", f"encoder_3d,render={gt_cpt}",
                       "--load", f"encoder_traj={p3d_cpt}",
-                      "--load", f"encoder_traj_2d={p2d_cpt}"] + common + val("head"), done_key="head")
+                      "--load", f"encoder_traj_2d={p2d_cpt}"]
+    + common + pose_seqs + val("head"), done_key="head")
 head_cpt = cpt("pretrain_pose_2d3d")
 
 # step 3.2: pose (pred_pose_2d3d.yaml)
 run("3.2 pose", ["train", "--cfg", "configs/kubric/pred_pose_2d3d.yaml",
                  "--family", "full",
                  "--epochs", str(EPOCHS["pose"]), "--lr", "1e-4",
-                 "--load", f"*={head_cpt}"] + common + val("pose"), done_key="pose")
+                 "--load", f"*={head_cpt}"]
+    + common + pose_seqs + val("pose"), done_key="pose")
 pose_cpt = cpt("pred_pose_2d3d")
 
 # step 3.3: joint (joint_pose_2d3d.yaml) — drop fusion, re-load gt encoder
@@ -219,6 +232,7 @@ run("eval", ["eval", "--cfg", "configs/kubric/optimize_seen.yaml",
              "--output-dir", OUT,
              "--checkpoint", joint_cpt,
              "--render-checkpoint", gt_cpt,
+             "--refine-multistart",
              "--iter-num", "200", "--max-instances", "4"])
 
 print("\ncurriculum complete; checkpoints under", OUT, flush=True)
