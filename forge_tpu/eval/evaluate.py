@@ -515,6 +515,10 @@ def run_optimization(
                 time.sleep(wait)
         return False
 
+    if refine_batch > 1 and refine_multistart:
+        print("note: --refine-batch is superseded by --refine-multistart "
+              "(each instance already refines its 5 candidates as one "
+              "batched scan); instance windows are not formed")
     pending = []
 
     def flush_window():
@@ -722,9 +726,14 @@ def _refine_window(refiner, vr, ctxs, n_refine_chunks, pad_to=None):
             vr, cur, feats, camK, timgs, tmasks, opt_state)
     refined = np.asarray(cur)
     per = refined.reshape(len(cx), -1, refined.shape[-1])
-    losses = np.asarray(rm.get("loss_last_per", np.zeros(len(cx))))
-    losses = np.broadcast_to(losses, (len(cx),))
-    return [per[i] for i in range(n)], losses[:n]
+    if "loss_last_per" in rm:
+        losses = np.broadcast_to(
+            np.asarray(rm["loss_last_per"]), (len(cx),))[:n]
+    else:
+        # user-supplied refiner without per-instance losses: selection by
+        # loss is impossible — callers that need it (multistart) must check
+        losses = None
+    return [per[i] for i in range(n)], losses
 
 
 def _post_instance(model, vr, ctx, refined, cfg, renderer, lpips_fn,
@@ -785,6 +794,11 @@ def _run_instance(model, variables, vr, sample, cfg, batch_idx, seen,
         cands = _candidate_ctxs(ctx)
         refined_list, losses = _refine_window(
             refiner, vr, cands, n_refine_chunks)
+        if losses is None:
+            raise ValueError(
+                "refine_multistart needs a refiner reporting per-instance "
+                "final losses (metrics key 'loss_last_per'); the supplied "
+                "refiner does not")
         win = int(np.argmin(losses))
         ctx, refined = cands[win], refined_list[win]
     else:

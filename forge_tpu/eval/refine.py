@@ -56,7 +56,11 @@ def make_refiner(
         per_img = jnp.mean(err_img.reshape(b, -1), axis=1)      # [b]
         per_mask = jnp.mean(err_mask.reshape(b, -1), axis=1)
         per = w_rgb * per_img + w_mask * per_mask
-        return jnp.mean(per), per
+        # SUM, not mean: d(sum)/d(pose_i) = d(per_i)/d(pose_i) exactly, so
+        # each instance's refinement trajectory is identical at any window
+        # size (a mean would scale grads by 1/b, which Adam cancels only up
+        # to its eps term). b=1 reduces to the reference's per-object loss.
+        return jnp.sum(per), per
 
     gamma = lr_end_scale ** (1.0 / max(iter_num, 1))
     sched_rot = optax.exponential_decay(lr_rot, 1, gamma)
@@ -90,6 +94,7 @@ def make_refiner(
         (params_rt, opt_state), (losses, pers) = jax.lax.scan(
             step, (params_rt, opt_state), None, length=iter_num
         )
+        losses = losses / pers.shape[-1]  # log per-instance-mean loss
         quat = params_rt["rot"]
         quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
         refined = jnp.concatenate([quat, params_rt["trans"]], axis=-1)

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from forge_tpu.ops.ray_march_pallas import (
-    _iota2_f, _tent, _dtent, _mmT)
+    _iota2_f, _tent, _dtent, _mmT, base_down)
 
 TD = 2          # output subtile voxels along D
 TH = 8          # along H
@@ -109,15 +109,9 @@ def _affine_meta(A, b, D, H, W, C):
             + jnp.einsum("nij,dhwj->ndhwi", An, omax)
             + b[:, None, None, None, :])                     # [N,nd,nh,nw,3]
 
-    def base(coord, width, align, size):
-        raw = jnp.floor(coord).astype(jnp.int32) - 1
-        if align > 1:
-            raw = (raw // align) * align
-        return jnp.clip(raw, 0, size - width)
-
-    zb = base(smin[..., 2], BZ2, 1, D)
-    yb = base(smin[..., 1], BH2, 8, H)
-    xb = base(smin[..., 0], bx, xal, W)
+    zb = base_down(smin[..., 2], BZ2, 1, D)
+    yb = base_down(smin[..., 1], BH2, 8, H)
+    xb = base_down(smin[..., 0], bx, xal, W)
     zero = jnp.zeros(zb.shape, jnp.int32)
     meta = jnp.stack([zb, yb, xb, zero, zero, zero, zero, zero], axis=-1)
     return meta.reshape(N * nd * nh, 1, nw * 8)

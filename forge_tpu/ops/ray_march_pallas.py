@@ -127,17 +127,11 @@ def _group_meta(origins, dirs, dens_vol, image_size, n_pts,
     gmin = mins.reshape(G, 2, B, nt, nt, 3).min(axis=1)      # [G,B,nt,nt,3]
     gmin = jnp.moveaxis(gmin, 0, 3)                          # [B,nt,nt,G,3]
 
-    def base(coord, width, align):
-        raw = jnp.floor(coord).astype(jnp.int32) - 1
-        if align > 1:
-            raw = (raw // align) * align
-        return jnp.clip(raw, 0, D - width)
-
     xmin, ymin, zmin = gmin[..., 0], gmin[..., 1], gmin[..., 2]
-    dbase = base(zmin, bz, 1)
-    hbase = base(ymin, BH, 8)
-    xbase = base(xmin, BX, 8)
-    xbase2 = base(xmin, BX2, 16)
+    dbase = base_down(zmin, bz, 1, D)
+    hbase = base_down(ymin, BH, 8, D)
+    xbase = base_down(xmin, BX, 8, D)
+    xbase2 = base_down(xmin, BX2, 16, D)
 
     if skip_empty:
         # occupancy of the exact (bz, BH, W) window the kernels fetch
@@ -360,8 +354,13 @@ def render_volume_pallas(
     cams_per_volume: int = 1,
     skip_empty: bool = True,
     stash_tp: bool = False,
+    return_meta: bool = False,
 ) -> jnp.ndarray:
     """Same contract as render_volume_xla.
+
+    return_meta additionally appends the _group_meta array to the returns so
+    the custom-VJP wrapper can hand it to the backward instead of relying on
+    XLA CSE to deduplicate the recompute.
 
     stash_tp=True additionally returns the per-tile group-start (T, P) EA
     state [B, nt, nt, 2*G, TILE*TILE] f32 (rows 0..G-1 = transmittance T,
@@ -404,6 +403,7 @@ def render_volume_pallas(
         origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
         image_size, n_pts_per_ray, float(min_depth), float(max_depth),
         float(cmax), D, cpv, skip_empty)
+    ret_meta = meta
     # pad the direction channel dim to a full lane row
     dirs = jnp.pad(dirs.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 125)))
 
@@ -433,7 +433,7 @@ def render_volume_pallas(
         out_shape = [out_shape, jax.ShapeDtypeStruct(
             (B, nt, nt, 2 * G, TILE * TILE), jnp.float32)]
     G = n_pts_per_ray // _spi(n_pts_per_ray)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, nt, nt),
         in_specs=[
@@ -455,6 +455,11 @@ def render_volume_pallas(
         out_shape=out_shape,
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs, meta, feat_vol, dens_vol)
+    if return_meta:
+        if isinstance(out, (list, tuple)):
+            return (*out, ret_meta)
+        return out, ret_meta
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -566,11 +571,15 @@ def _dtent(i_coord, base, iota, D):
     return w * ((absidx >= 0) & (absidx <= D - 1))
 
 
-def _base_of(i_coord, width, align, D):
-    raw = jnp.floor(jnp.min(i_coord)).astype(jnp.int32) - 1
+def base_down(coord, width, align, size):
+    """floor(coord) - 1 (tent reach + floor slack), aligned down, clipped so
+    a `width`-wide brick fits in `size`. THE brick-base rule shared by the
+    renderer meta (_group_meta) and the affine-resample meta
+    (ops/affine_resample._affine_meta); elementwise over `coord`."""
+    raw = jnp.floor(coord).astype(jnp.int32) - 1
     if align > 1:
         raw = (raw // align) * align
-    return jnp.clip(raw, 0, D - width)
+    return jnp.clip(raw, 0, size - width)
 
 
 def _mmT(a, b, mm_dtype):
@@ -907,6 +916,7 @@ def render_volume_pallas_bwd(
     cams_per_volume: int = 1,
     skip_empty: bool = True,
     tp=None,
+    meta=None,
 ):
     """Pallas backward: cotangent image g -> (d_feat, d_dens, dK, dR, dt).
 
@@ -941,10 +951,11 @@ def render_volume_pallas_bwd(
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
     cmax = coord_grid_max(D, volume_size)
     nt = image_size // TILE
-    meta = _group_meta(
-        origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
-        image_size, n_pts_per_ray, float(min_depth), float(max_depth),
-        float(cmax), D, cpv, skip_empty)
+    if meta is None:
+        meta = _group_meta(
+            origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
+            image_size, n_pts_per_ray, float(min_depth), float(max_depth),
+            float(cmax), D, cpv, skip_empty)
     dirs_pad = jnp.pad(dirs.astype(jnp.float32),
                        ((0, 0), (0, 0), (0, 0), (0, 125)))
     g = g.astype(jnp.float32)
@@ -1080,23 +1091,23 @@ def _make_rvp_grad(ray_grads: bool):
     def fwd(features, densities, K, R, t,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             cams_per_volume, skip_empty=True):
-        out, tp = render_volume_pallas(
+        out, tp, meta = render_volume_pallas(
             features, densities, K, R, t, image_size, n_pts_per_ray,
             min_depth, max_depth, volume_size,
             cams_per_volume=cams_per_volume, skip_empty=skip_empty,
-            stash_tp=True,
+            stash_tp=True, return_meta=True,
         )
-        return out, (features, densities, K, R, t, tp)
+        return out, (features, densities, K, R, t, tp, meta)
 
     def bwd(image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             cams_per_volume, skip_empty, res, g):
-        features, densities, K, R, t, tp = res
+        features, densities, K, R, t, tp, meta = res
         return render_volume_pallas_bwd(
             features, densities, K, R, t, g,
             image_size, n_pts_per_ray, min_depth, max_depth, volume_size,
             ray_grads=ray_grads,
             cams_per_volume=cams_per_volume, skip_empty=skip_empty,
-            tp=tp,
+            tp=tp, meta=meta,
         )
 
     rvp.defvjp(fwd, bwd)

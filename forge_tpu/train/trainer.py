@@ -49,7 +49,7 @@ def train_epoch(
         # them costs a relay RPC round trip PER LEAF (~70 ms/step measured on
         # the hosted relay at b=5 — 6x the pose-stage compute), so only host
         # batches pay the placement + readiness sync here.
-        on_device = isinstance(next(iter(arrays.values()), None), jax.Array)
+        on_device = all(isinstance(v, jax.Array) for v in arrays.values())
         if mesh is not None:
             from forge_tpu.parallel import shard_batch
 
