@@ -191,10 +191,12 @@ run("1.2 pose_3d", ["train", "--cfg", "configs/kubric/pred_pose_3d.yaml",
     + common + pose_seqs + val("p3d"), done_key="p3d")
 p3d_cpt = cpt("pred_pose_3d")
 
-# step 2: 2D pose estimator standalone (pred_pose_2d.yaml)
+# step 2: 2D pose estimator standalone (pred_pose_2d.yaml). lr 2e-4 is the
+# reference's (Appendix A); the round-4 200-epoch run at 1e-4 plateaued by
+# epoch 50 with TRAIN loss stuck at pose~0.21 (underfitting, not data).
 run("2 pose_2d", ["train", "--cfg", "configs/kubric/pred_pose_2d.yaml",
                   "--family", "pose2d",
-                  "--epochs", str(EPOCHS["p2d"]), "--lr", "1e-4"]
+                  "--epochs", str(EPOCHS["p2d"]), "--lr", "2e-4"]
     + common + pose_seqs + val("p2d"), done_key="p2d")
 p2d_cpt = cpt("pred_pose_2d")
 

@@ -304,3 +304,70 @@ def test_volrender_grad_cams_split_matches_unsplit():
     np.testing.assert_allclose(gt2[:, :k], gt1[:, :k], atol=1e-4, rtol=1e-4)
     assert np.abs(gt1[:, k:]).max() > 0      # unsplit computes them
     np.testing.assert_array_equal(gt2[:, k:], 0.0)   # split skips them
+
+
+def test_group_meta_bases_and_occupancy():
+    """_group_meta's SMEM metadata must (a) gate exactly on the density max
+    of the brick window each kernel fetches, and (b) produce bases whose
+    bricks cover every sample's tent support (brute-force check)."""
+    from forge_tpu.ops.ray_march_pallas import (
+        _group_meta, _spi, _bz, BH, TILE)
+    from forge_tpu.geometry.cameras import pixel_rays_cv2
+    from forge_tpu.ops.voxel import coord_grid_max
+
+    rng = np.random.RandomState(7)
+    B, D, img, n_pts = 2, 64, 32, 64   # flagship-like sample
+    f = 70.0                           # spacing (~1.5 voxels)
+    K = jnp.asarray(np.tile(np.array(
+        [[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1)))
+    Rm = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    t = jnp.asarray(np.array([[0, 0, 1.5], [0.05, -0.02, 1.45]], np.float32))
+    dens = np.zeros((B, D, D, D), np.float32)
+    dens[:, 30:34, 10:14, 40:44] = 1.0          # one small occupied block
+    cmax = coord_grid_max(D, 1.0)
+
+    origins, dirs = pixel_rays_cv2(K, Rm, t, img, img)
+    meta = np.asarray(_group_meta(
+        origins.astype(jnp.float32), dirs.astype(jnp.float32),
+        jnp.asarray(dens), img, n_pts, 0.5, 2.0, float(cmax), D, 1, True))
+    spi = _spi(n_pts)
+    G = n_pts // spi
+    nt = img // TILE
+    bz = _bz(D)
+    meta = meta.reshape(B, nt, nt, G, 8)
+
+    # (a) occupancy == brute-force window max > 0
+    o = np.asarray(origins)
+    d = np.asarray(dirs)
+    step = (2.0 - 0.5) / (n_pts - 1)
+    scale = 0.5 * (D - 1) / float(cmax)
+    half = 0.5 * (D - 1)
+    for b in range(B):
+        for ti in range(nt):
+            for tj in range(nt):
+                for g in range(G):
+                    db, hb = meta[b, ti, tj, g, 0], meta[b, ti, tj, g, 1]
+                    occ = meta[b, ti, tj, g, 4]
+                    want = dens[b, db:db + bz, hb:hb + BH, :].max() > 0
+                    assert bool(occ) == bool(want), (b, ti, tj, g)
+    # (b) brick coverage of the tent support for every sample of a few
+    # random tiles
+    for _ in range(20):
+        b = rng.randint(B); ti = rng.randint(nt); tj = rng.randint(nt)
+        g = rng.randint(G)
+        px = d[b, ti * TILE:(ti + 1) * TILE, tj * TILE:(tj + 1) * TILE]
+        for k in range(spi):
+            z = 0.5 + step * (g * spi + k)
+            p = o[b] + z * px                    # [TILE,TILE,3]
+            iz = p[..., 2] * scale + half
+            iy = -p[..., 1] * scale + half
+            db, hb = meta[b, ti, tj, g, 0], meta[b, ti, tj, g, 1]
+            lo_z = np.ceil(iz.min() - 1)
+            hi_z = np.floor(iz.max() + 1)
+            assert (lo_z >= db or lo_z < 0) and (
+                hi_z <= db + bz - 1 or hi_z > D - 1), (db, iz.min(), iz.max())
+            lo_y = np.ceil(iy.min() - 1)
+            hi_y = np.floor(iy.max() + 1)
+            assert (lo_y >= hb or lo_y < 0) and (
+                hi_y <= hb + BH - 1 or hi_y > D - 1), (hb, iy.min(), iy.max())
