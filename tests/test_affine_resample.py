@@ -149,6 +149,20 @@ def test_rotate_affine_matches_packed_path():
         rtol=0, atol=3e-5)
 
 
+def test_forward_parity_c128():
+    """Flagship channel count: C=128 takes the narrow-brick (BX=16,
+    alignment-free) path that C=16 tests never exercise."""
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.rand(1, S, S, S, 128).astype(np.float32))
+    A, b = _rand_affine(rng, 1)
+    out = affine_resample_pallas(src, A, b, interpret=True,
+                                 vol_dtype=jnp.float32)
+    ref = grid_sample_3d(src, _grid_from_affine(A, b, S),
+                         align_corners=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
 def test_brick_coverage_bound():
     """The fixed bricks must cover any isometry's subtile footprint: span
     <= ||(TD, TH, TW)||2 * scale + tent/floor/alignment slack."""
