@@ -186,7 +186,32 @@ def _measure_forward_slice(backend: str, n_dev: int):
     return n_dev / dt
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout: a dead
+    hosted-relay tunnel makes every device op hang forever (observed
+    round 4), and a bench that hangs is worse than one that reports."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "5-view objects/sec", "value": 0.0,
+            "unit": "objects/sec", "vs_baseline": 0.0,
+            "error": "accelerator unreachable (device probe hung/failed; "
+                     "hosted TPU relay tunnel down)"}))
+        return
     backends = os.environ.get(
         "FORGE_BENCH_BACKENDS", "packed,pallas").split(",")
     results = {}
