@@ -210,3 +210,25 @@ def test_device_cached_loader_compact_roundtrip():
         np.testing.assert_allclose(
             np.asarray(b1["depths"]), np.asarray(b0["depths"]), rtol=1e-3,
             atol=1e-6)
+
+
+def test_gso_dataset_parses_on_disk_format(tmp_path):
+    """GSO rides the kubric metadata format one directory level shallower
+    (root/<instance>/<seq>); all sequences are test-unseen (reference
+    dataset/gso.py)."""
+    from forge_tpu.data.gso import GSODataset
+
+    root = str(tmp_path / "gso")
+    for inst in ("objA", "objB"):
+        _write_fake_kubric_seq(root, inst, "seq0", "")
+
+    cfg = merge_config(tiny_cfg(), {"dataset": {"root": root}})
+    ds = GSODataset(cfg, split="test")
+    assert len(ds) == 2
+    s = ds[0]
+    t = ds.num_frames()
+    assert s["images"].shape == (t, 64, 64, 3)
+    assert s["depths"].shape[0] == t
+    assert np.isfinite(s["cam_poses_rel_cv2"]).all()
+    assert float(np.asarray(s["seen_flag"]).ravel()[0]) <= 0.0  # unseen
+    np.testing.assert_allclose(s["K_cv2"][0, 0, 0], 1.1 * 64, rtol=1e-5)
