@@ -33,8 +33,10 @@ VARIANTS = {
     "spi2":   (12, 24, 24, 2),
     "spi2b":  (14, 16, 24, 2),
     "spi1":   (10, 16, 16, 1),
-    # spi8: half the groups -> half the per-group scalar/matmul-issue
-    # overhead, +50% K FLOPs (bigger bricks); wins if overhead-dominated
+    # spi8: half the groups -> half the per-group matmul-issue overhead,
+    # +50% K FLOPs (bigger bricks); wins if overhead-dominated. NOTE the
+    # per-group bases/occupancy now come from the host-side _group_meta,
+    # so the old scalar-reduction overhead argument is gone — measure.
     "spi8":   (24, 32, 32, 8),
 }
 

@@ -59,7 +59,8 @@ BH2 = 24        # source brick along H  (sublane: base aligned to 8)
 
 def _bx(C: int) -> int:
     """Source brick along W. Footprint needs ~15 voxels incl. tent reach and
-    floor slack; the x base must align the lane offset base*C to 128."""
+    floor slack; C=128 fills the lane dim exactly, so the x base needs no
+    alignment widening."""
     return 16 if C >= 128 else 24
 
 
@@ -68,10 +69,13 @@ def _xalign(C: int) -> int:
 
 
 def affine_resample_supports(shape) -> bool:
-    """Static shape gate for the fused kernel (mirrors pallas_supports)."""
+    """Static shape gate for the fused kernel. C must be exactly 128 (the
+    model's raw voxel channel count): narrower channel counts hit Mosaic's
+    unsupported sublane->lane shape casts in the output writes
+    (AOT-verified); wider ones would blow the brick lane budget."""
     N, D, H, W, C = shape
     return (
-        C <= 128 and 128 % C == 0 and (8 * C) % 128 == 0
+        C == 128
         and D % TD == 0 and H % TH == 0 and W % TW == 0
         and D >= BZ2 and H >= BH2 and W >= _bx(C) and W <= 128
     )
@@ -180,9 +184,8 @@ def _resample_kernel(
                          pl.ds(xoff, bx * C)].reshape(BZ2 * BH2, bx * C)
         m1 = mm(ohzy, fbrick)                                # [R, bx*C]
         # channel reduction over the x positions as a lane-aligned
-        # reshape-sum (no select matmul: for C=128 the x positions are
-        # exactly vreg boundaries)
-        feat = (m1 * wx_rep).reshape(R, bx, C).sum(axis=1)   # [R, C]
+        # reshape-sum (the x positions are exactly vreg boundaries at C=128)
+        feat = (m1 * wx_rep).reshape(R, bx, C).sum(axis=1)
         out_ref[0, :, :, pl.ds(sub * TW * C, TW * C)] = (
             feat.reshape(TD, TH, TW * C).astype(out_ref.dtype))
 
@@ -244,7 +247,9 @@ def _resample_bwd_kernel(
     src_ref,      # VMEM [1, D, H, W*C] vol_dtype
     g_ref,        # VMEM [1, TD, TH, W*C] f32 cotangent
     dsrc_ref,     # VMEM out [1, D, H, W*C] f32 (accumulated over programs)
-    gi_ref,       # VMEM out [1, TD, TH, W*16] f32 (dL/dsx, dsy, dsz, pad)
+    gi_ref,       # VMEM out [1, nw*R, 128] f32 rows=(sub, dd, hh, ww),
+                  # lanes 0..2 = dL/d(sx, sy, sz) (lane-padded; Mosaic
+                  # rejects the (R, 16) -> (TD, TH, TW*16) cast)
     *,
     D, H, W, C, mm_dtype,
 ):
@@ -300,12 +305,9 @@ def _resample_bwd_kernel(
         gi_x = k1(ohzy * Vx)
         gi_y = k1(ohzy_dy * V)
         gi_z = k1(ohzy_dz * V)
-        # 16 lanes per voxel (3 used) so the per-subtile lane slice is
-        # 128-aligned (TW * 16 = 128)
         gi = jnp.concatenate(
-            [gi_x, gi_y, gi_z, jnp.zeros((R, 13), jnp.float32)], axis=1)
-        gi_ref[0, :, :, pl.ds(sub * TW * 16, TW * 16)] = gi.reshape(
-            TD, TH, TW * 16)
+            [gi_x, gi_y, gi_z, jnp.zeros((R, 125), jnp.float32)], axis=1)
+        gi_ref[0, pl.ds(sub * R, R), :] = gi
 
 
 def affine_resample_pallas_bwd(
@@ -344,19 +346,25 @@ def affine_resample_pallas_bwd(
         out_specs=[
             pl.BlockSpec((1, D, H, W * C), lambda v, i, j: (v, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD, TH, W * 16), lambda v, i, j: (v, i, j, 0),
+            pl.BlockSpec((1, (W // TW) * TD * TH * TW, 128),
+                         lambda v, i, j: (v * nd * nh + i * nh + j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, D, H, W * C), jnp.float32),
-            jax.ShapeDtypeStruct((N, D, H, W * 16), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (N * nd * nh, (W // TW) * TD * TH * TW, 128), jnp.float32),
         ],
         compiler_params=_VMEM_64M,
         interpret=interpret,
     )(Ab, meta, src_v, g_v)
 
     d_src = d_src.reshape(N, D, H, W, C).astype(src.dtype)
-    gi = gi.reshape(N, D, H, W, 16)[..., :3]                 # [N,D,H,W,3]
+    # rows = (v, i, j, sub, dd, hh, ww): reorder back to voxel layout
+    nw = W // TW
+    gi = gi.reshape(N, nd, nh, nw, TD, TH, TW, 128)[..., :3]
+    gi = jnp.transpose(gi, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        N, D, H, W, 3)                                       # [N,D,H,W,3]
 
     # s = A @ o + b with o = (wo, ho, do): contract gi against the output
     # index grid (tiny host einsums; AD to poses flows through the caller's

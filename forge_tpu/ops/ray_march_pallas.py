@@ -58,12 +58,6 @@ BX = 24         # brick voxels along W (lane via *C: base aligned to 8)
 SPI = 4         # depth samples per loop iteration sharing one brick (the
                 # brick sizes must cover the tile frustum footprint PLUS the
                 # (SPI-1)-sample depth advance; see _spi)
-import os as _os
-SEL_SUM = _os.environ.get("FORGE_RENDER_SELSUM", "0") == "1"
-"""Forward-kernel channel reduction variant (exact same math): reshape-sum
-on the VPU instead of the 0/1 select matmul. Env-gated for A/B timing."""
-
-
 def _spi(n_pts: int) -> int:
     return max(k for k in (SPI, 2, 1) if n_pts % k == 0)
 
@@ -293,14 +287,11 @@ def _ray_march_kernel(
             fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
                               pl.ds(xoff, BX * C)]             # [bz, BH, BX*C]
             m1 = mm(ohzy, fbrick.reshape(bz * BH, BX * C))     # [spi*R, BX*C]
-            if SEL_SUM:
-                # channel reduction over x as a VPU reshape-sum instead of
-                # the constant select matmul: trades 6 MXU pass-units per
-                # live group for overlappable VPU adds
-                feat = (m1 * wx_rep).reshape(
-                    spi * R, BX, C).sum(axis=1)                # [spi*R, C]
-            else:
-                feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
+            # NOTE: a VPU reshape-sum over x instead of this select matmul
+            # is NOT Mosaic-lowerable at C=16 (infer-vector-layout rejects
+            # the (spi*R, BX*C) -> (spi*R, BX, C) cast; AOT-verified) —
+            # the 0/1 matmul stays
+            feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
 
             d1 = mm(ohzy, dbrick.reshape(bz * BH, D))          # [spi*R, D]
             dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]

@@ -77,9 +77,12 @@ def rotate_voxel_grids(
     from forge_tpu.ops.affine_resample import (
         affine_resample, affine_resample_supports)
 
+    # default ON: exact interpret parity vs the packed path AND AOT Mosaic
+    # compilation against the local libtpu toolchain are both green
+    # (experiments/aot_compile_check.py); FORGE_ROTATE_PALLAS=0 opts out
     if (affine_resample_supports(src.shape)
             and jax.default_backend() == "tpu"
-            and os.environ.get("FORGE_ROTATE_PALLAS", "0") == "1"):
+            and os.environ.get("FORGE_ROTATE_PALLAS", "1") != "0"):
         A, b = _affine_from_T(
             T.reshape(B * (t - 1), 4, 4), D, volume_size)
         sampled = affine_resample(src, A, b).reshape(B, t - 1, D, H, W, C)
