@@ -3,13 +3,21 @@
 #   curriculum (resumes from markers/cpt_last) -> rotate-kernel validation.
 # Launch:  nohup bash experiments/post_outage.sh > /tmp/post_outage.log 2>&1 &
 #          echo $! > /tmp/post_outage.pid
+#
+# Durability lesson (Aug 21 outage): the container wipe took /tmp with it —
+# every curriculum checkpoint and the warm compile cache. Checkpoints now
+# live under /root/repo/artifacts (gitignored, survives container resets);
+# only the re-derivable caches stay in /tmp.
 cd /root/repo || exit 1
-export FORGE_GT_INIT=${FORGE_GT_INIT:-/tmp/curriculum_full/kubric/gt_pose/gt_pose/cpt_last}
+OUT=${FORGE_CURRICULUM_OUT:-/root/repo/artifacts/curriculum_r4}
+mkdir -p "$OUT"
+GT_DEFAULT="$OUT/kubric/gt_pose/gt_pose/cpt_last"
+[ -e "$GT_DEFAULT" ] && export FORGE_GT_INIT=${FORGE_GT_INIT:-$GT_DEFAULT}
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
 
 echo "=== $(date -u) curriculum"
-python experiments/run_curriculum.py /tmp/curriculum_r4 --scale full512 \
-    >> /tmp/curriculum_r4/driver.log 2>&1
+python experiments/run_curriculum.py "$OUT" --scale full512 \
+    >> "$OUT/driver.log" 2>&1
 echo "=== $(date -u) curriculum rc=$?"
 
 echo "=== $(date -u) rotate kernel validation"
