@@ -27,8 +27,13 @@ import json
 import os
 
 # persistent compile cache: the flagship init/train compiles are ~6-11 min
-# on the relay terminal and recur across bench/curriculum processes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+# on the relay terminal and recur across bench/curriculum processes.
+# Durable location (artifacts/ is gitignored): an Aug-21 container reset
+# wiped /tmp and forced a full re-warm.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "artifacts", "jax_comp_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import jax

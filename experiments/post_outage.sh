@@ -13,7 +13,10 @@ OUT=${FORGE_CURRICULUM_OUT:-/root/repo/artifacts/curriculum_r4}
 mkdir -p "$OUT"
 GT_DEFAULT="$OUT/kubric/gt_pose/gt_pose/cpt_last"
 [ -e "$GT_DEFAULT" ] && export FORGE_GT_INIT=${FORGE_GT_INIT:-$GT_DEFAULT}
-export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/artifacts/jax_comp_cache}
+# scene cache is chip-time-expensive to regenerate (device-side renders);
+# keep it with the checkpoints, not in /tmp
+export FORGE_SYNTH_CACHE=${FORGE_SYNTH_CACHE:-/root/repo/artifacts/synth_cache}
 
 echo "=== $(date -u) curriculum"
 python experiments/run_curriculum.py "$OUT" --scale full512 \

@@ -70,11 +70,14 @@ pose_seqs = (["--synthetic-seqs", str(POSE_SEQS)]
              if POSE_SEQS != SEQS else [])
 
 ENV = dict(os.environ)
-# share rendered synthetic scenes across the 6 per-step processes
-ENV.setdefault("FORGE_SYNTH_CACHE", "/tmp/forge_synth_cache")
+# share rendered synthetic scenes across the 6 per-step processes.
+# Durable defaults (artifacts/ is gitignored, survives container resets —
+# the Aug-21 reset wiped /tmp including scenes, caches, and checkpoints).
+ENV.setdefault("FORGE_SYNTH_CACHE", "/root/repo/artifacts/synth_cache")
 # persistent XLA compile cache: init/train/val programs recur across the
 # per-step processes (a flagship init compile alone is ~6 min on the relay)
-ENV.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+ENV.setdefault("JAX_COMPILATION_CACHE_DIR",
+               "/root/repo/artifacts/jax_comp_cache")
 ENV.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 # device-resident scenes: the relay host link is ~10 MB/s, so per-step batch
 # uploads (42 MB at b=4) would dominate the 2 s step. Round 2's OOM with

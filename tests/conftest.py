@@ -24,7 +24,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # core host (the dominant cost of the suite — round-3 verdict weak #7). With
 # the cache, only the FIRST ever run pays it; reruns finish in seconds. The
 # env vars also propagate into the multichip-dryrun child process.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/forge_tpu_test_cache")
+# Durable location: an Aug-21 container reset wiped /tmp (cache + every
+# checkpoint); artifacts/ is gitignored and survives resets.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "artifacts", "test_compile_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
