@@ -217,15 +217,42 @@ def main():
             "error": "accelerator unreachable (device probe hung/failed; "
                      "hosted TPU relay tunnel down)"}))
         return
+    # Truncation safety: every flagship program is a multi-minute cold
+    # compile on the relay, and the driver (or `timeout`) may cut the bench
+    # mid-phase. Keep a best-so-far result and print it as THE json line on
+    # SIGTERM so a cut bench still records everything measured up to the
+    # cut. The pallas backend (the winner every round since r3) is measured
+    # FIRST; the packed comparison column compiles last.
+    import signal
+
+    state = {"metric": "5-view objects/sec", "value": 0.0,
+             "unit": "objects/sec", "vs_baseline": 0.0,
+             "error": "no forward measured before the bench was cut"}
+
+    def _on_term(sig, frame):
+        state.setdefault("extra", {})["truncated"] = (
+            "bench hit its time budget; metrics measured so far")
+        print(json.dumps(state), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     backends = os.environ.get(
-        "FORGE_BENCH_BACKENDS", "packed,pallas").split(",")
+        "FORGE_BENCH_BACKENDS", "pallas,packed").split(",")
     results = {}
     for b in backends:
         try:
+            print(f"# measuring forward backend={b}", flush=True)
             results[b] = _measure_forward(b.strip())
         except Exception as e:  # a backend failing must not kill the bench
             results[b] = None
             print(f"# backend {b} failed: {type(e).__name__}: {e}"[:300])
+        if b == backends[0] and results[b]:
+            # primary backend done: record a valid best-so-far result
+            state.update(value=round(1.0 / results[b], 4),
+                         vs_baseline=round(
+                             1.0 / results[b] / BASELINE_OBJECTS_PER_SEC_PER_A40, 3))
+            state.pop("error", None)
 
     ok = {k: v for k, v in results.items() if v}
     if not ok:
@@ -246,6 +273,16 @@ def main():
         "objects_per_sec_b1": round(objects_per_sec, 3),
         "device": str(jax.devices()[0]),
     }
+    state["extra"] = extra
+    def _sync():
+        state.update(
+            metric=(f"5-view objects/sec (full eval forward, best batch"
+                    f" b={best_b}, 10 renders/object @128^2x64)"),
+            value=round(objects_per_sec, 4),
+            vs_baseline=round(
+                objects_per_sec / BASELINE_OBJECTS_PER_SEC_PER_A40, 3))
+
+    _sync()
     if os.environ.get("FORGE_BENCH_FAST", "") != "1":
         try:
             # batched eval amortizes the per-call host/dispatch overhead;
@@ -254,6 +291,7 @@ def main():
             from forge_tpu.models import build_model, TrainFlags
 
             for b in (4, 8):
+                print(f"# measuring batched forward b={b}", flush=True)
                 cfg, model, sample, variables = _setup(best_backend, b=b)
                 fn = jax.jit(lambda v, s: model.apply(v, s,
                                                       TrainFlags.none()))
@@ -262,9 +300,11 @@ def main():
                 extra[f"objects_per_sec_b{b}"] = round(ops, 3)
                 if ops > objects_per_sec:
                     objects_per_sec, best_b = ops, b
+                _sync()
         except Exception as e:
             extra["objects_per_sec_batched"] = f"failed: {e}"[:120]
         try:
+            print("# measuring refinement b=1", flush=True)
             refine_ms = _measure_refine(best_backend) * 1e3
             extra["refine_ms_per_iter"] = round(refine_ms, 1)
             # the reference's "1000 iters already good" refinement budget
@@ -275,17 +315,20 @@ def main():
         try:
             # eval --refine-batch 4: per-object refinement cost when four
             # instances share one batched scan
+            print("# measuring refinement b=4", flush=True)
             r4 = _measure_refine(best_backend, b=4) * 1e3
             extra["refine_ms_per_iter_b4"] = round(r4, 1)
             extra["refine_1000iter_s_per_obj_b4"] = round(r4 / 4.0, 1)
         except Exception as e:
             extra["refine_ms_per_iter_b4"] = f"failed: {e}"[:120]
         try:
+            print("# measuring train step b=1", flush=True)
             extra["train_step_ms"] = round(
                 _measure_train_step(best_backend) * 1e3, 1)
         except Exception as e:
             extra["train_step_ms"] = f"failed: {e}"[:120]
         try:
+            print("# measuring train step b=4", flush=True)
             # the reference's per-GPU training configuration (batch 4,
             # config/kubric/joint_pose_2d3d.yaml): per-chip train objects/sec
             dt4 = _measure_train_step(best_backend, b=4)
@@ -317,14 +360,8 @@ def main():
     if train_ops:
         extra["train_vs_baseline"] = round(
             max(train_ops) / BASELINE_TRAIN_OBJECTS_PER_SEC_PER_A40, 3)
-    print(json.dumps({
-        "metric": (f"5-view objects/sec (full eval forward, best batch"
-                   f" b={best_b}, 10 renders/object @128^2x64)"),
-        "value": round(objects_per_sec, 4),
-        "unit": "objects/sec",
-        "vs_baseline": round(objects_per_sec / BASELINE_OBJECTS_PER_SEC_PER_A40, 3),
-        "extra": extra,
-    }))
+    _sync()
+    print(json.dumps(state), flush=True)
 
 
 if __name__ == "__main__":
