@@ -39,6 +39,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import jax
 import jax.numpy as jnp
 
+# sitecustomize imports jax at interpreter start, before the setdefaults
+# above — the env route only reaches CHILD processes. Explicit config.update
+# is required for THIS process (without it the 25-min flagship compiles of
+# the Aug-21 cold run were silently never cached).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from forge_tpu.utils.chiptime import chip_time, perturb_tree
 
 BASELINE_OBJECTS_PER_SEC_PER_A40 = 10.0   # derived; see BASELINE.md "Grounding"
@@ -191,22 +199,34 @@ def _measure_forward_slice(backend: str, n_dev: int):
     return n_dev / dt
 
 
-def _device_reachable(timeout_s: int = 240) -> bool:
+def _device_reachable(timeout_s: int = 480, retries: int = 2) -> bool:
     """Probe the accelerator in a SUBPROCESS with a hard timeout: a dead
     hosted-relay tunnel makes every device op hang forever (observed
-    round 4), and a bench that hangs is worse than one that reports."""
+    round 4), and a bench that hangs is worse than one that reports.
+
+    Retries with a pause: a DEGRADED relay (post-outage Aug 21: a trivial
+    matmul took 94 s while the relay drained a killed client's server-side
+    compile) must read as slow, not unreachable."""
     import subprocess
     import sys
+    import time as _time
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries:
+            print(f"# device probe attempt {attempt + 1} failed; retrying",
+                  flush=True)
+            _time.sleep(60)
+    return False
 
 
 def main():

@@ -34,6 +34,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
 
+# The sitecustomize hook imports jax at interpreter start, BEFORE this file
+# runs — jax.config snapshots the cache env vars then, so the setdefaults
+# above are invisible to this process (they still propagate to children).
+# Explicit config.update is the authoritative in-process switch.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Parity tests compare against torch float32; keep MXU-path matmuls exact.
