@@ -534,7 +534,30 @@ def cmd_readout(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for direct CLI invocations.
+
+    Flagship train/eval programs take minutes to compile on the relay; the
+    curriculum driver already exports JAX_COMPILATION_CACHE_DIR for its
+    children, but a bare `python -m forge_tpu.run ...` got no cache. The
+    explicit config.update matters: this environment's sitecustomize
+    imports jax at interpreter start, so setting the env var here would be
+    silently ignored in-process (observed Aug 21: 25 min of flagship
+    compiles never cached).
+    """
+    import jax
+
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "jax_comp_cache")
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)  # for children
+    jax.config.update("jax_compilation_cache_dir", path)
+    if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser("forge_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
