@@ -45,7 +45,8 @@ import jax.numpy as jnp
 # the Aug-21 cold run were silently never cached).
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
 
 from forge_tpu.utils.chiptime import chip_time, perturb_tree
 
@@ -257,13 +258,13 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    backends = os.environ.get(
-        "FORGE_BENCH_BACKENDS", "pallas,packed").split(",")
+    backends = [t.strip() for t in os.environ.get(
+        "FORGE_BENCH_BACKENDS", "pallas,packed").split(",")]
     results = {}
     for b in backends:
         try:
             print(f"# measuring forward backend={b}", flush=True)
-            results[b] = _measure_forward(b.strip())
+            results[b] = _measure_forward(b)
         except Exception as e:  # a backend failing must not kill the bench
             results[b] = None
             print(f"# backend {b} failed: {type(e).__name__}: {e}"[:300])
@@ -275,6 +276,11 @@ def main():
             state.pop("error", None)
 
     ok = {k: v for k, v in results.items() if v}
+    if ok:
+        # any successful backend invalidates the "nothing measured" error —
+        # popping only in the first-backend branch left a stale error field
+        # when the primary failed but a later backend succeeded (ADVICE r4)
+        state.pop("error", None)
     if not ok:
         print(json.dumps({"metric": "5-view objects/sec", "value": 0.0,
                           "unit": "objects/sec", "vs_baseline": 0.0,

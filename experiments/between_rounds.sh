@@ -18,21 +18,32 @@ GRACE_S=${FORGE_BR_GRACE_S:-10800}   # 3 h: let the driver's bench finish first
 echo "=== $(date -u) grace sleep ${GRACE_S}s"
 sleep "$GRACE_S"
 
-# wait (up to 12 h) for a healthy relay: trivial op answered within 120 s
+# wait (up to 12 h) for a healthy relay: trivial op answered within 120 s.
+# If it never becomes healthy, STOP — launching the curriculum against a
+# dead tunnel hangs every device op forever (the round-4 failure mode)
+# and leaves a zombie pipeline holding the pid file.
 echo "=== $(date -u) waiting for relay health"
+HEALTHY=0
 for i in $(seq 1 144); do
     if timeout 120 python -c \
         "import jax,jax.numpy as jnp;print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
         > /dev/null 2>&1; then
-        echo "=== $(date -u) relay healthy (attempt $i)"; break
+        echo "=== $(date -u) relay healthy (attempt $i)"; HEALTHY=1; break
     fi
     sleep 300
 done
+if [ "$HEALTHY" != 1 ]; then
+    echo "=== $(date -u) relay never became healthy in 12 h; aborting"
+    rm -f artifacts/between_rounds.pid
+    exit 1
+fi
 
 echo "=== $(date -u) bench"
 timeout 7200 python bench.py > artifacts/bench_between_rounds.log 2>&1
 echo "=== $(date -u) bench rc=$? (artifacts/bench_between_rounds.log)"
 
 echo "=== $(date -u) curriculum"
-bash experiments/post_outage.sh
+# generous bound: a hung device op against a re-died relay must not hold
+# the pipeline forever (curriculum itself resumes from markers on relaunch)
+timeout 36000 bash experiments/post_outage.sh
 echo "=== $(date -u) pipeline done rc=$?"

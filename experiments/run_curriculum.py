@@ -45,7 +45,11 @@ if SCALE == "full512":
     # POSE_SEQS: the render-free pose stages see 2x the scenes (scene files
     # are cached per-index, so the render stages' first 512 stay identical;
     # residency is ~2 GB compact u8 for 1024 image-only scenes).
-    EPOCHS = dict(gt=4, p3d=500, p2d=500, head=12, pose=200, joint=16)
+    # gt: 4 epochs continue a warm start; a COLD start (no FORGE_GT_INIT —
+    # the Aug-21 container wipe destroyed every prior checkpoint) needs the
+    # round-3 step budget (~1280 steps = 10 epochs at 512 scenes / b=4)
+    EPOCHS = dict(gt=(4 if os.environ.get("FORGE_GT_INIT") else 10),
+                  p3d=500, p2d=500, head=12, pose=200, joint=16)
     VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=25, joint=4)
     SAVE_EVERY = dict(gt=2, p3d=25, p2d=25, head=6, pose=10, joint=2)
     POSE_SEQS = 1024

@@ -40,7 +40,8 @@ import jax  # noqa: E402
 # Explicit config.update is the authoritative in-process switch.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
