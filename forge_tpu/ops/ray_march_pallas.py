@@ -37,6 +37,7 @@ to bf16 volume quantization (3.3e-2 max abs on random dense volumes), and
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,23 @@ BX = 24         # brick voxels along W (lane via *C: base aligned to 8)
 SPI = 4         # depth samples per loop iteration sharing one brick (the
                 # brick sizes must cover the tile frustum footprint PLUS the
                 # (SPI-1)-sample depth advance; see _spi)
+
+# Round-5 kernel restructures (exact same math, fewer MXU passes; one env
+# kills all three for A/B, probes monkeypatch the individual flags):
+#  SELSUM: forward accumulates features in the expanded x-layout [R, BX*C]
+#    and collapses over x ONCE per tile after the depth loop (the x-sum
+#    commutes with the EA accumulation) — removing the per-group channel-
+#    select matmul, 6 of the forward's 30 per-live-group MXU pass-units.
+#  DWT: backward A computes the four sigma row-dots off
+#    dW = [wx_full; wxp_full] @ dbrick^T (K = D -> 12 pass-units) instead of
+#    d_all = [ohzy; ohzy_dz; ohzy_dy] @ dbrick (K = bz*BH -> 18).
+#  B1CHUNK: backward B runs all C=16 feature channels in ONE chunk (the
+#    32 MB vmem limit fits the 16.8 MB f32 gradient block) — half the group
+#    iterations and 18 instead of 24 pass-units per live group.
+_V5 = os.environ.get("FORGE_RENDER_V5", "1") != "0"
+SELSUM = _V5
+DWT = _V5
+B1CHUNK = _V5
 def _spi(n_pts: int) -> int:
     return max(k for k in (SPI, 2, 1) if n_pts % k == 0)
 
@@ -287,11 +305,17 @@ def _ray_march_kernel(
             fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
                               pl.ds(xoff, BX * C)]             # [bz, BH, BX*C]
             m1 = mm(ohzy, fbrick.reshape(bz * BH, BX * C))     # [spi*R, BX*C]
-            # NOTE: a VPU reshape-sum over x instead of this select matmul
-            # is NOT Mosaic-lowerable at C=16 (infer-vector-layout rejects
-            # the (spi*R, BX*C) -> (spi*R, BX, C) cast; AOT-verified) —
-            # the 0/1 matmul stays
-            feat = mm(m1 * wx_rep, sel)                        # [spi*R, C]
+            if not SELSUM:
+                # NOTE: a VPU reshape-sum over x instead of this select
+                # matmul is NOT Mosaic-lowerable at C=16 (infer-vector-layout
+                # rejects the (spi*R, BX*C) -> (spi*R, BX, C) cast;
+                # AOT-verified) — the 0/1 matmul stays
+                feat = mm(m1 * wx_rep, sel)                    # [spi*R, C]
+            else:
+                # SELSUM: no per-group select — the EA weights multiply the
+                # expanded x-layout directly and the x-fold happens once per
+                # tile after the loop (see the post-loop collapse)
+                feat = m1 * wx_rep                             # [spi*R, BX*C]
 
             d1 = mm(ohzy, dbrick.reshape(bz * BH, D))          # [spi*R, D]
             dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]
@@ -317,13 +341,27 @@ def _ray_march_kernel(
         return jax.lax.cond(occ > 0, live, lambda c: c, carry)
 
     init = (
-        jnp.zeros((R, C), jnp.float32),
+        jnp.zeros((R, BX * C if SELSUM else C), jnp.float32),
         jnp.zeros((R, 1), jnp.float32),
         jnp.ones((R, 1), jnp.float32),
         jnp.ones((R, 1), jnp.float32),
     )
     acc_feat, acc_depth, _, survive_all = jax.lax.fori_loop(
         0, n_pts // spi, body, init)
+    if SELSUM:
+        # collapse the expanded x-layout accumulator once per tile: sum the
+        # 128-lane tiles (static aligned slices), then one tiny f32 select
+        # matmul [R, 128] @ [128, C] folds the remaining 128 // C
+        # x-positions — ~2 MXU passes per TILE (vs 6 per GROUP)
+        ntile = (BX * C) // 128
+        accf = acc_feat[:, :128]
+        for i in range(1, ntile):
+            accf = accf + acc_feat[:, i * 128:(i + 1) * 128]
+        jc128 = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
+        cc128 = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
+        sel128 = (jc128 == cc128).astype(jnp.float32)
+        acc_feat = jnp.dot(accf, sel128,
+                           preferred_element_type=jnp.float32)  # [R, C]
     opacity = 1.0 - survive_all
     out = jnp.concatenate([acc_feat, opacity, acc_depth], axis=1)
     out_ref[0] = out.reshape(TILE, TILE, C + 2)
@@ -700,11 +738,9 @@ def _ray_march_bwd_dens_kernel(
                               :].reshape(bz * BH, D)
             M = spi * R
             if ray_grads:
-                # derivative tents up-front so the density contractions
-                # (d1, d1z, d1y) run as ONE stacked matmul and the two
-                # gF-pre-contracted feature dots (V, Vx) as another —
-                # identical FLOPs, 2 MXU ops instead of 5 per live group
-                # (less per-op Mosaic overhead/latency)
+                # derivative tents up-front so the gF-pre-contracted feature
+                # dots (V, Vx) run as ONE stacked matmul — less per-op
+                # Mosaic overhead/latency
                 wxp_full = cat([_dtent(x, jnp.zeros((), jnp.int32), iota_w, D)
                                 for x in ixs])
                 ohzy_dz = cat([_dtent(z, dbase, iota_zh_z, D) * b_
@@ -712,9 +748,25 @@ def _ray_march_bwd_dens_kernel(
                 ohzy_dy = cat([a * _dtent(y, hbase, iota_zh_y, D)
                                for a, y in zip(tz, iys)])
                 wxp_rep = cat([_dtent(x, xbase, iota_xc_x, D) for x in ixs])
-                d_all = mm(jnp.concatenate([ohzy, ohzy_dz, ohzy_dy], axis=0),
-                           dbrick)                         # [3*spi*R, D]
-                d1, d1z, d1y = d_all[:M], d_all[M:2 * M], d_all[2 * M:]
+                if DWT:
+                    # DWT: all four sigma row-dots factor through the x-side
+                    # contraction dW = wx @ dbrick^T (K = D -> 12 MXU
+                    # pass-units for the stacked pair) instead of the zh-side
+                    # d_all = [ohzy; ohzy_dz; ohzy_dy] @ dbrick (K = bz*BH ->
+                    # 18): sigma = <ohzy, dW>, dsig_dx = <ohzy, dWp>,
+                    # dsig_dy = <ohzy_dy, dW>, dsig_dz = <ohzy_dz, dW>
+                    dW_all = jax.lax.dot_general(
+                        jnp.concatenate([wx_full, wxp_full],
+                                        axis=0).astype(mm_dtype),
+                        dbrick.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [2*spi*R, ZH]
+                    dWf, dWp = dW_all[:M], dW_all[M:]
+                else:
+                    d_all = mm(
+                        jnp.concatenate([ohzy, ohzy_dz, ohzy_dy], axis=0),
+                        dbrick)                            # [3*spi*R, D]
+                    d1, d1z, d1y = d_all[:M], d_all[M:2 * M], d_all[2 * M:]
                 VVx = jax.lax.dot_general(
                     jnp.concatenate(
                         [wx_rep * gF_xrep, wxp_rep * gF_xrep],
@@ -724,7 +776,17 @@ def _ray_march_bwd_dens_kernel(
                     preferred_element_type=jnp.float32)    # [2*spi*R, bz*BH]
                 V, Vx = VVx[:M], VVx[M:]
             else:
-                d1 = mm(ohzy, dbrick)                      # [spi*R, D]
+                if DWT:
+                    # same x-side sigma contraction as the ray_grads branch
+                    # (identical pass-units here, but keeps sigma BITWISE
+                    # consistent between the cam-grads and no-cam kernels —
+                    # the grad_cams_per_volume split relies on it)
+                    dWf = jax.lax.dot_general(
+                        wx_full.astype(mm_dtype), dbrick.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [spi*R, ZH]
+                else:
+                    d1 = mm(ohzy, dbrick)                  # [spi*R, D]
                 # gF pre-contracted into the brick (see gF_xrep above):
                 # V[r,zh] = sum_xc wx_rep*gF_xrep*fbrick -> A = rowsum(ohzy*V)
                 V = jax.lax.dot_general(
@@ -732,7 +794,10 @@ def _ray_march_bwd_dens_kernel(
                     fbrick.astype(mm_dtype),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)    # [spi*R, bz*BH]
-            dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
+            if DWT:
+                dens_s = jnp.sum(ohzy * dWf, axis=1, keepdims=True)
+            else:
+                dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)
             A_f = jnp.sum(ohzy * V, axis=1, keepdims=True)
 
             sigs, As, Ts, Ps = [], [], [], []
@@ -761,9 +826,14 @@ def _ray_march_bwd_dens_kernel(
 
             if ray_grads:
                 k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
-                dsig_dx = k1(d1 * wxp_full)                # [spi*R, 1]
-                dsig_dy = k1(d1y * wx_full)
-                dsig_dz = k1(d1z * wx_full)
+                if DWT:
+                    dsig_dx = k1(ohzy * dWp)               # [spi*R, 1]
+                    dsig_dy = k1(ohzy_dy * dWf)
+                    dsig_dz = k1(ohzy_dz * dWf)
+                else:
+                    dsig_dx = k1(d1 * wxp_full)            # [spi*R, 1]
+                    dsig_dy = k1(d1y * wx_full)
+                    dsig_dz = k1(d1z * wx_full)
                 # <gF, df/d*> via the pre-contracted V/Vx (no m1, no df, no
                 # sel matmuls — see gF_xrep comment above)
                 w = cat(sigs) * cat(Ts)                    # [spi*R, 1]
@@ -804,11 +874,12 @@ def _ray_march_bwd_feat_kernel(
     origin_ref,   # SMEM [B, 3]
     dirs_ref,     # VMEM [1, TILE, TILE, 128]
     meta_ref,     # SMEM [1, 1, G*8] per-group brick bases + occupancy
-    g_ref,        # VMEM [1, 1, TILE, TILE, CC] f32 (this chunk's gF)
+    g_ref,        # VMEM [1, 1, TILE, TILE, cc] f32 (this chunk's gF)
     w_ref,        # VMEM [1, 1, 1, n_pts, R] f32 kernel A's EA-weight stash
-    dfeat_ref,    # VMEM out [1, 1, D, H, W*CC] f32 (accumulated over tiles)
+    dfeat_ref,    # VMEM out [1, 1, D, H, W*cc] f32 (accumulated over tiles)
     *,
     n_pts, min_depth, max_depth, cmax, D, mm_dtype, cpv,
+    cc=CC, bxb=None, xslot=3, xalign=16,
 ):
     # grid is (NC, B, nt, nt) — channel-chunk-major so that for grouped
     # rendering (cpv > 1) the output block index (b // cpv, nc) changes in
@@ -821,6 +892,7 @@ def _ray_march_bwd_feat_kernel(
     # all zero (w = 0 -> dfb = 0; covers empty bricks AND fully-dead rays).
     R = TILE * TILE
     bz = _bz(D)
+    bxb = BX2 if bxb is None else bxb
     b = pl.program_id(1)
     ti = pl.program_id(2)
     tj = pl.program_id(3)
@@ -829,10 +901,10 @@ def _ray_march_bwd_feat_kernel(
 
     iota_zh_z = _iota2_f(bz * BH, BH, 0)
     iota_zh_y = _iota2_f(bz * BH, 1, BH)
-    iota_x2c_x = _iota2_f(BX2 * CC, CC, 0)
-    sel2 = _sel_mat(BX2, CC)
+    iota_x2c_x = _iota2_f(bxb * cc, cc, 0)
+    sel2 = _sel_mat(bxb, cc)
 
-    gF = g_ref[0, 0].reshape(R, CC)
+    gF = g_ref[0, 0].reshape(R, cc)
     spi = _spi(n_pts)
     cat = lambda ms: ms[0] if spi == 1 else jnp.concatenate(ms, axis=0)
     # gF replicated across the BX2 x-positions, hoisted out of the depth
@@ -862,7 +934,7 @@ def _ray_march_bwd_feat_kernel(
         def occupied(_):
             dbase = meta_ref[0, 0, it * 8 + 0]
             hbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 1], 8)
-            xbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 3], 16)
+            xbase = pl.multiple_of(meta_ref[0, 0, it * 8 + xslot], xalign)
             ws = [w_ref[0, 0, 0, pl.ds(s + k, 1), :].reshape(R, 1)
                   for k in range(spi)]
             w = cat(ws)                                     # [spi*R, 1]
@@ -877,15 +949,15 @@ def _ray_march_bwd_feat_kernel(
                             for z, y in zip(izs, iys)])     # [spi*R, ZH]
                 wx2_rep = cat([_tent(x, xbase, iota_x2c_x, D) for x in ixs])
 
-                dm1 = (w * gF_xrep) * wx2_rep               # [spi*R, BX2*CC]
-                dfb = _mmT(ohzy, dm1, mm_dtype)             # [bz*BH, BX2*CC]
+                dm1 = (w * gF_xrep) * wx2_rep               # [spi*R, bxb*cc]
+                dfb = _mmT(ohzy, dm1, mm_dtype)             # [bz*BH, bxb*cc]
 
-                xoff = pl.multiple_of(xbase * CC, 128)
+                xoff = pl.multiple_of(xbase * cc, 128)
                 cur = dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                                pl.ds(xoff, BX2 * CC)]
+                                pl.ds(xoff, bxb * cc)]
                 dfeat_ref[0, 0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                          pl.ds(xoff, BX2 * CC)] = (
-                    cur + dfb.reshape(bz, BH, BX2 * CC))
+                          pl.ds(xoff, bxb * cc)] = (
+                    cur + dfb.reshape(bz, BH, bxb * cc))
                 return 0
 
             jax.lax.cond(jnp.max(jnp.abs(w)) > 0, live, lambda _: 0, 0)
@@ -927,7 +999,15 @@ def render_volume_pallas_bwd(
     B = V * cpv
     assert K.shape[0] == B, (K.shape, V, cpv)
     assert D == H == W and BX2 <= W <= 128 and C0 % CC == 0
-    NC = C0 // CC
+    if B1CHUNK and C0 == 16:
+        # one chunk: the full-C f32 gradient block (16.8 MB at 64^3 x 16)
+        # fits the 32 MB vmem limit — half the group iterations, 18 instead
+        # of 24 MXU pass-units per live group, and the kernel-A brick/meta
+        # (xbase slot 2, align 8, BX wide) is reused for the x-window
+        cc_b, bxb_b, xslot_b, xalign_b = C0, BX, 2, 8
+    else:
+        cc_b, bxb_b, xslot_b, xalign_b = CC, BX2, 3, 16
+    NC = C0 // cc_b
     mm_dtype = vol_dtype if mm_dtype is None else mm_dtype
 
     if tp is None:
@@ -1002,13 +1082,14 @@ def render_volume_pallas_bwd(
 
     # c-major chunked cotangent image for kernel B
     g_chunks = g[..., :C0].reshape(
-        B, image_size, image_size, NC, CC).transpose(0, 3, 1, 2, 4)
+        B, image_size, image_size, NC, cc_b).transpose(0, 3, 1, 2, 4)
 
     kern_b = functools.partial(
         _ray_march_bwd_feat_kernel,
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D,
         mm_dtype=mm_dtype, cpv=cpv,
+        cc=cc_b, bxb=bxb_b, xslot=xslot_b, xalign=xalign_b,
     )
     d_feat_chunks = pl.pallas_call(
         kern_b,
@@ -1019,7 +1100,7 @@ def render_volume_pallas_bwd(
                          lambda n, b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
             _meta_spec(nt, G, grid4=True),
-            pl.BlockSpec((1, 1, TILE, TILE, CC),
+            pl.BlockSpec((1, 1, TILE, TILE, cc_b),
                          lambda n, b, i, j: (b, n, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, n_pts_per_ray, TILE * TILE),
@@ -1027,14 +1108,14 @@ def render_volume_pallas_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, D, H, W * CC), lambda n, b, i, j: (b // cpv, n, 0, 0, 0),
+            (1, 1, D, H, W * cc_b), lambda n, b, i, j: (b // cpv, n, 0, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((V, NC, D, H, W * CC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, NC, D, H, W * cc_b), jnp.float32),
         compiler_params=_BWD_PARAMS,
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs_pad, meta, g_chunks, w_stash)
 
-    d_feat = d_feat_chunks.reshape(V, NC, D, H, W, CC)
+    d_feat = d_feat_chunks.reshape(V, NC, D, H, W, cc_b)
     d_feat = jnp.transpose(d_feat, (0, 2, 3, 4, 1, 5)).reshape(
         V, D, H, W, C0).astype(features.dtype)
     d_dens = d_dens[..., None].astype(densities.dtype)
