@@ -67,6 +67,27 @@ def main():
         sds((2, D, D, D, 16)), sds((2, D, D, D, 1)), sds((10, 3, 3)),
         sds((10, 3, 3)), sds((10, 3))).compile()
     print("renderer fwd grouped OK", flush=True)
+
+    # HS8 h-shift-copy variants (flagship D=64 only)
+    import forge_tpu.ops.ray_march_pallas as RP
+    old = RP.HS8
+    RP.HS8 = True
+    try:
+        jax.jit(lambda f, d, K, R, t: render_volume_pallas(
+            f, d, K, R, t, img, n, 0.5, 2.0, 1.0, interpret=False,
+            cams_per_volume=10), in_shardings=(s,) * 5).lower(
+            sds((1, D, D, D, 16)), sds((1, D, D, D, 1)), sds((10, 3, 3)),
+            sds((10, 3, 3)), sds((10, 3))).compile()
+        print("renderer fwd HS8 OK", flush=True)
+        jax.jit(lambda f, d, K, R, t, g: render_volume_pallas_bwd(
+            f, d, K, R, t, g, img, n, 0.5, 2.0, 1.0, interpret=False,
+            cams_per_volume=10), in_shardings=(s,) * 6).lower(
+            sds((1, D, D, D, 16)), sds((1, D, D, D, 1)), sds((10, 3, 3)),
+            sds((10, 3, 3)), sds((10, 3)),
+            sds((10, img, img, 18))).compile()
+        print("renderer bwd HS8 OK", flush=True)
+    finally:
+        RP.HS8 = old
     print("ALL KERNELS AOT-COMPILE OK")
 
 

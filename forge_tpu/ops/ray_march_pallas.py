@@ -76,6 +76,39 @@ _V5 = os.environ.get("FORGE_RENDER_V5", "1") != "0"
 SELSUM = _V5
 DWT = _V5
 B1CHUNK = _V5
+
+# HS8: 8 h-shifted copies of the volumes remove the 8-row sublane-alignment
+# tax on the h-brick (the fetch picks copy s = hbase % 8 at the aligned-down
+# offset, so the contraction window is the TIGHT footprint): the zh
+# contraction K drops bz*BH = 384 -> bz*BH_T = 256 — forward m1 18 -> 12 and
+# d1 6 -> 4 MXU pass-units per live group, backward A's VVx 36 -> 24 and
+# dd 6 -> 4. Costs 8x volume HBM/VMEM residency (67 MB bf16 feature copies
+# at 64^3 x 16, under the raised vmem limit); only volumes with D >= 64 use
+# it (smaller test volumes' tile frusta outgrow the 16-row window).
+HS8 = os.environ.get("FORGE_RENDER_HS8", "0") != "0"
+BH_T = 16       # tight h-window (footprint + tent reach, no alignment tax)
+NSHIFT = 8
+
+
+def _bh(D: int, hs8: bool) -> int:
+    return BH_T if (hs8 and D >= 64) else BH
+
+
+def _hs8(D: int, hs8=None) -> bool:
+    hs8 = HS8 if hs8 is None else hs8
+    return bool(hs8) and D >= 64
+
+
+def _h_copies(vol):
+    """[V, D, H, ...] -> [V, NSHIFT, D, H, ...]; copy s holds vol[h + s]
+    (zero-padded past H-1), so window rows [hbase, hbase+BH_T) are copy
+    (hbase % 8) rows [hbase - hbase % 8, ...) — an 8-aligned sublane
+    offset for ANY hbase."""
+    cops = [vol if s == 0 else jnp.pad(
+        vol[:, :, s:],
+        ((0, 0), (0, 0), (0, s)) + ((0, 0),) * (vol.ndim - 3))
+        for s in range(NSHIFT)]
+    return jnp.stack(cops, axis=1)
 def _spi(n_pts: int) -> int:
     return max(k for k in (SPI, 2, 1) if n_pts % k == 0)
 
@@ -88,7 +121,8 @@ def _bz(D: int) -> int:
 
 
 def _group_meta(origins, dirs, dens_vol, image_size, n_pts,
-                min_depth, max_depth, cmax, D, cpv, skip_empty):
+                min_depth, max_depth, cmax, D, cpv, skip_empty,
+                hs8=False):
     """XLA-side per-(camera, tile, depth-group) brick metadata.
 
     Precomputes, OUTSIDE the kernels, everything the kernels' per-group
@@ -144,24 +178,32 @@ def _group_meta(origins, dirs, dens_vol, image_size, n_pts,
     hbase = base_down(ymin, BH, 8, D)
     xbase = base_down(xmin, BX, 8, D)
     xbase2 = base_down(xmin, BX2, 16, D)
+    # HS8: unaligned tight h-base (slot 5) — the h-shift copies absorb the
+    # sublane alignment (copy hbase_t % 8, offset aligned down)
+    bh_t = _bh(D, hs8)
+    hbase_t = base_down(ymin, bh_t, 1, D) if hs8 else hbase
 
     if skip_empty:
-        # occupancy of the exact (bz, BH, W) window the kernels fetch
+        # occupancy of the exact window the fwd/bwd-A kernels fetch
+        # (tight (bz, BH_T) under HS8 — it covers the sample support, so
+        # gating on it is exact; kernel B gates on the w-stash anyway)
+        occ_bh = bh_t if hs8 else BH
+        occ_h = hbase_t if hs8 else hbase
         dmax = dens_vol.astype(jnp.float32).max(axis=3)      # [V, D, H]
         wmax = jax.lax.reduce_window(
             dmax, -jnp.inf, jax.lax.max,
-            (1, bz, BH), (1, 1, 1), "valid")                 # [V,D-bz+1,H-BH+1]
-        nh = D - BH + 1
+            (1, bz, occ_bh), (1, 1, 1), "valid")          # [V,D-bz+1,H-bh+1]
+        nh = D - occ_bh + 1
         flat = wmax.reshape(wmax.shape[0], -1)
         cam = jnp.arange(B, dtype=jnp.int32) // cpv          # [B]
-        lin = dbase * nh + hbase                             # [B,nt,nt,G]
+        lin = dbase * nh + occ_h                             # [B,nt,nt,G]
         occ = (flat[cam[:, None, None, None], lin] > 0).astype(jnp.int32)
     else:
         occ = jnp.ones(dbase.shape, jnp.int32)
 
     zero = jnp.zeros(dbase.shape, jnp.int32)
     meta = jnp.stack(
-        [dbase, hbase, xbase, xbase2, occ, zero, zero, zero], axis=-1)
+        [dbase, hbase, xbase, xbase2, occ, hbase_t, zero, zero], axis=-1)
     # [rows, 1, G*8]: Mosaic requires the last two block dims to be
     # (divisible by (8, 128)) OR equal to the array dims — blocking only the
     # leading row axis satisfies the "equal" clause for any G
@@ -184,8 +226,8 @@ def _ray_march_kernel(
     origin_ref,    # SMEM [B, 3]
     dirs_ref,      # VMEM [1, TILE, TILE, 128] (3 used)
     meta_ref,      # SMEM [1, 1, G*8] per-group brick bases + occupancy
-    feat_ref,      # VMEM [1, D, H, W*C] bf16
-    dens_ref,      # VMEM [1, D, H, W] bf16
+    feat_ref,      # VMEM [1, D, H, W*C] bf16 ([1, NSHIFT, ...] under hs8)
+    dens_ref,      # VMEM [1, D, H, W] bf16 ([1, NSHIFT, ...] under hs8)
     out_ref,       # VMEM [1, TILE, TILE, C + 2]
     tp_ref=None,   # VMEM [1, 1, 1, 2*G, R] optional (T, P) group-start stash
     *,
@@ -197,9 +239,11 @@ def _ray_march_kernel(
     C: int,
     mm_dtype=jnp.float32,
     skip_empty: bool = True,
+    hs8: bool = False,
 ):
     R = TILE * TILE
     bz = _bz(D)
+    bh = BH_T if hs8 else BH
     dirs = dirs_ref[0].reshape(R, 128)
     b = pl.program_id(0)
     ox = origin_ref[b, 0]
@@ -230,8 +274,8 @@ def _ray_march_kernel(
         j = (j % mod) if mod else j
         return j.astype(jnp.float32)
 
-    iota_zh_z = iota2(bz * BH, BH, 0)
-    iota_zh_y = iota2(bz * BH, 1, BH)
+    iota_zh_z = iota2(bz * bh, bh, 0)
+    iota_zh_y = iota2(bz * bh, 1, bh)
     iota_xc_x = iota2(BX * C, C, 0)
     # channel select [BX*C, C]: Sel[j, c] = (j % C == c)
     jc = jax.lax.broadcasted_iota(jnp.int32, (BX * C, C), 0) % C
@@ -267,7 +311,12 @@ def _ray_march_kernel(
         # plus the cond — no coordinate math, no vector reductions, no
         # density fetch (_group_meta)
         dbase = meta_ref[0, 0, it * 8 + 0]
-        hbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 1], 8)
+        if hs8:
+            hbase = meta_ref[0, 0, it * 8 + 5]       # tight, align 1
+            hsel = hbase % NSHIFT                    # which h-shift copy
+            hoff = pl.multiple_of(hbase - hsel, 8)   # aligned fetch offset
+        else:
+            hbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 1], 8)
         xbase = pl.multiple_of(meta_ref[0, 0, it * 8 + 2], 8)
         occ = meta_ref[0, 0, it * 8 + 4]
 
@@ -285,7 +334,11 @@ def _ray_march_kernel(
                 ixs.append(-(ox + zk * dirs[:, 0]) * scale + half)  # W [R]
                 iys.append(-(oy + zk * dirs[:, 1]) * scale + half)  # H
                 izs.append((oz + zk * dirs[:, 2]) * scale + half)   # D
-            dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]
+            if hs8:
+                dbrick = dens_ref[0, hsel, pl.ds(dbase, bz),
+                                  pl.ds(hoff, bh), :]
+            else:
+                dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh), :]
             wx_full = cat([tent(x, jnp.zeros((), jnp.int32), iota_w)
                            for x in ixs])                       # [spi*R, D]
             # separable tents evaluated directly in the expanded zh / xc
@@ -302,9 +355,13 @@ def _ray_march_kernel(
                                       preferred_element_type=jnp.float32)
 
             xoff = pl.multiple_of(xbase * C, 128)  # xbase, C*8 both aligned
-            fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                              pl.ds(xoff, BX * C)]             # [bz, BH, BX*C]
-            m1 = mm(ohzy, fbrick.reshape(bz * BH, BX * C))     # [spi*R, BX*C]
+            if hs8:
+                fbrick = feat_ref[0, hsel, pl.ds(dbase, bz),
+                                  pl.ds(hoff, bh), pl.ds(xoff, BX * C)]
+            else:
+                fbrick = feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh),
+                                  pl.ds(xoff, BX * C)]         # [bz, bh, BX*C]
+            m1 = mm(ohzy, fbrick.reshape(bz * bh, BX * C))     # [spi*R, BX*C]
             if not SELSUM:
                 # NOTE: a VPU reshape-sum over x instead of this select
                 # matmul is NOT Mosaic-lowerable at C=16 (infer-vector-layout
@@ -317,7 +374,7 @@ def _ray_march_kernel(
                 # tile after the loop (see the post-loop collapse)
                 feat = m1 * wx_rep                             # [spi*R, BX*C]
 
-            d1 = mm(ohzy, dbrick.reshape(bz * BH, D))          # [spi*R, D]
+            d1 = mm(ohzy, dbrick.reshape(bz * bh, D))          # [spi*R, D]
             dens_s = jnp.sum(d1 * wx_full, axis=1, keepdims=True)  # [spi*R, 1]
 
             for k in range(spi):
@@ -421,6 +478,7 @@ def render_volume_pallas(
     assert D == H == W and D >= max(BZ, BH, BX) and W <= 128
     assert image_size % TILE == 0
     assert (8 * C0) % 128 == 0, "feature channels must align lanes (e.g. 16)"
+    hs8 = _hs8(D)
 
     feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
@@ -431,8 +489,13 @@ def render_volume_pallas(
     meta = _group_meta(
         origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
         image_size, n_pts_per_ray, float(min_depth), float(max_depth),
-        float(cmax), D, cpv, skip_empty)
+        float(cmax), D, cpv, skip_empty, hs8=hs8)
     ret_meta = meta
+    if hs8:
+        feat_vol = _h_copies(feat_vol)       # [V, NSHIFT, D, H, W*C0]
+        dens_vol_k = _h_copies(dens_vol)     # [V, NSHIFT, D, H, W]
+    else:
+        dens_vol_k = dens_vol
     # pad the direction channel dim to a full lane row
     dirs = jnp.pad(dirs.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 125)))
 
@@ -446,6 +509,7 @@ def render_volume_pallas(
         C=C0,
         mm_dtype=vol_dtype,
         skip_empty=skip_empty,
+        hs8=hs8,
     )
     out_specs = pl.BlockSpec(
         (1, TILE, TILE, C0 + 2), lambda b, i, j: (b, i, j, 0),
@@ -471,19 +535,25 @@ def render_volume_pallas(
                          memory_space=pltpu.VMEM),
             _meta_spec(nt, G),
             # single-buffered: the volume block only changes with the camera
-            # group; double buffering it would blow the 16MB VMEM budget
-            pl.BlockSpec((1, D, H, W * C0),
-                         lambda b, i, j: (b // cpv, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
+            # group; double buffering it would blow the VMEM budget
+            pl.BlockSpec(
+                (1, NSHIFT, D, H, W * C0) if hs8 else (1, D, H, W * C0),
+                (lambda b, i, j: (b // cpv, 0, 0, 0, 0)) if hs8
+                else (lambda b, i, j: (b // cpv, 0, 0, 0)),
+                pipeline_mode=pl.Buffered(buffer_count=1),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, NSHIFT, D, H, W) if hs8 else (1, D, H, W),
+                (lambda b, i, j: (b // cpv, 0, 0, 0, 0)) if hs8
+                else (lambda b, i, j: (b // cpv, 0, 0, 0)),
+                pipeline_mode=pl.Buffered(buffer_count=1),
+                memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=(_HS8_PARAMS if hs8 else None),
         interpret=interpret,
-    )(origins.astype(jnp.float32), dirs, meta, feat_vol, dens_vol)
+    )(origins.astype(jnp.float32), dirs, meta, feat_vol, dens_vol_k)
     if return_meta:
         if isinstance(out, (list, tuple)):
             return (*out, ret_meta)
@@ -530,8 +600,14 @@ BX2 = 32        # kernel-B brick voxels along W (base aligned to 16 so the
 CC = 8          # feature channels per kernel-B chunk
 
 # v5e has 128 MB physical VMEM; XLA's default scoped-vmem limit is 16 MB,
-# which the 8.4 MB gradient block + compiler stack slightly exceeds.
-_BWD_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# which the 8.4 MB gradient block + compiler stack slightly exceeds. 64 MB
+# also covers kernel B's single-chunk 16.8 MB f32 gradient block when the
+# pipeliner double-buffers it (an AOT compile with a small grid measured
+# 32.14 MB scoped, 144 KB over the old 32 MB limit).
+_BWD_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+# HS8 keeps all 8 h-shift copies VMEM-resident (67 MB bf16 features +
+# 4 MB densities at flagship 64^3 x 16)
+_HS8_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _geometry(origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D):
@@ -622,19 +698,22 @@ def _ray_march_bwd_dens_kernel(
     origin_ref,   # SMEM [B, 3]
     dirs_ref,     # VMEM [1, TILE, TILE, 128]
     meta_ref,     # SMEM [1, 1, G*8] per-group brick bases + occupancy
-    feat_ref,     # VMEM [1, D, H, W*C] bf16
-    dens_ref,     # VMEM [1, D, H, W] bf16
+    feat_ref,     # VMEM [1, D, H, W*C] bf16 ([1, NSHIFT, ...] under hs8)
+    dens_ref,     # VMEM [1, D, H, W] bf16 ([1, NSHIFT, ...] under hs8)
     g_ref,        # VMEM [1, TILE, TILE, C + 2] f32 cotangent image
     tp_ref,       # VMEM [1, 1, 1, 2*G, R] f32 forward (T, P) group stash
-    ddens_ref,    # VMEM out [1, D, H, W] f32 (accumulated over tiles)
+    ddens_ref,    # VMEM out [1, D, H, W] f32, accumulated over tiles
+                  # ([1, NSHIFT, ...] under hs8: per-copy-space gradients,
+                  # un-shifted and summed on the host graph)
     dray_ref,     # VMEM out [1, TILE, TILE, 8] f32 (d_origin | d_dirs)
     w_ref,        # VMEM out [1, 1, 1, n_pts, R] f32 per-sample EA weights
     *,
     n_pts, min_depth, max_depth, cmax, D, C, mm_dtype, ray_grads, cpv,
-    skip_empty,
+    skip_empty, hs8=False,
 ):
     R = TILE * TILE
     bz = _bz(D)
+    bh = BH_T if hs8 else BH
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -643,8 +722,8 @@ def _ray_march_bwd_dens_kernel(
     spi = _spi(n_pts)
 
     iota_w = _iota_f(D)
-    iota_zh_z = _iota2_f(bz * BH, BH, 0)
-    iota_zh_y = _iota2_f(bz * BH, 1, BH)
+    iota_zh_z = _iota2_f(bz * bh, bh, 0)
+    iota_zh_y = _iota2_f(bz * bh, 1, bh)
     iota_xc_x = _iota2_f(BX * C, C, 0)
     sel = _sel_mat(BX, C)
 
@@ -693,10 +772,13 @@ def _ray_march_bwd_dens_kernel(
         ohzy = cat([a * b for a, b in zip(tz, ty)])        # [spi*R, ZH]
         return tz, ty, wx_full, wx_rep, ohzy
 
-    def fbrick_of(dbase, hbase, xbase):
+    def fbrick_of(dbase, hbase, xbase, hsel=None, hoff=None):
         xoff = pl.multiple_of(xbase * C, 128)
-        return feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                        pl.ds(xoff, BX * C)].reshape(bz * BH, BX * C)
+        if hs8:
+            return feat_ref[0, hsel, pl.ds(dbase, bz), pl.ds(hoff, bh),
+                            pl.ds(xoff, BX * C)].reshape(bz * bh, BX * C)
+        return feat_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh),
+                        pl.ds(xoff, BX * C)].reshape(bz * bh, BX * C)
 
     # ---- single reverse pass: d_sigma -> d_dens bricks + ray grads ----
     # Per-sample (sigma, A) are recomputed here from the SAME tent
@@ -718,7 +800,13 @@ def _ray_march_bwd_dens_kernel(
         # brick bases + occupancy precomputed host-side (_group_meta): the
         # dead path is two SMEM reads + the cond
         dbase = meta_ref[0, 0, gidx * 8 + 0]
-        hbase = pl.multiple_of(meta_ref[0, 0, gidx * 8 + 1], 8)
+        if hs8:
+            hbase = meta_ref[0, 0, gidx * 8 + 5]     # tight, align 1
+            hsel = hbase % NSHIFT
+            hoff = pl.multiple_of(hbase - hsel, 8)
+        else:
+            hbase = pl.multiple_of(meta_ref[0, 0, gidx * 8 + 1], 8)
+            hsel = hoff = None
         xbase = pl.multiple_of(meta_ref[0, 0, gidx * 8 + 2], 8)
         occ = meta_ref[0, 0, gidx * 8 + 4]
 
@@ -733,9 +821,13 @@ def _ray_march_bwd_dens_kernel(
             izs = [c[3] for c in cs]
             tz, ty, wx_full, wx_rep, ohzy = group_tents(
                 ixs, iys, izs, dbase, hbase, xbase)
-            fbrick = fbrick_of(dbase, hbase, xbase)
-            dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH),
-                              :].reshape(bz * BH, D)
+            fbrick = fbrick_of(dbase, hbase, xbase, hsel, hoff)
+            if hs8:
+                dbrick = dens_ref[0, hsel, pl.ds(dbase, bz),
+                                  pl.ds(hoff, bh), :].reshape(bz * bh, D)
+            else:
+                dbrick = dens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh),
+                                  :].reshape(bz * bh, D)
             M = spi * R
             if ray_grads:
                 # derivative tents up-front so the gF-pre-contracted feature
@@ -819,10 +911,18 @@ def _ray_march_bwd_dens_kernel(
                 Q = (1.0 - sigs[k]) * Q
             dsig = cat(dsigs)                              # [spi*R, 1]
 
-            dd = _mmT(ohzy, dsig * wx_full, mm_dtype)      # [bz*BH, D]
-            cur = ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :]
-            ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, BH), :] = (
-                cur + dd.reshape(bz, BH, D))
+            dd = _mmT(ohzy, dsig * wx_full, mm_dtype)      # [bz*bh, D]
+            if hs8:
+                # accumulate in the COPY space (the aligned offset keeps the
+                # sublane store legal); the wrapper un-shifts and sums the
+                # NSHIFT planes on the host graph
+                cur = ddens_ref[0, hsel, pl.ds(dbase, bz), pl.ds(hoff, bh), :]
+                ddens_ref[0, hsel, pl.ds(dbase, bz), pl.ds(hoff, bh), :] = (
+                    cur + dd.reshape(bz, bh, D))
+            else:
+                cur = ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh), :]
+                ddens_ref[0, pl.ds(dbase, bz), pl.ds(hbase, bh), :] = (
+                    cur + dd.reshape(bz, bh, D))
 
             if ray_grads:
                 k1 = lambda a: jnp.sum(a, axis=1, keepdims=True)
@@ -1017,6 +1117,7 @@ def render_volume_pallas_bwd(
             vol_dtype=vol_dtype, cams_per_volume=cpv, skip_empty=skip_empty,
             stash_tp=True)
 
+    hs8 = _hs8(D)
     feat_vol = features.astype(vol_dtype).reshape(V, D, H, W * C0)
     dens_vol = densities[..., 0].astype(vol_dtype)
     origins, dirs = pixel_rays_cv2(K, R, t, image_size, image_size)
@@ -1026,7 +1127,10 @@ def render_volume_pallas_bwd(
         meta = _group_meta(
             origins.astype(jnp.float32), dirs.astype(jnp.float32), dens_vol,
             image_size, n_pts_per_ray, float(min_depth), float(max_depth),
-            float(cmax), D, cpv, skip_empty)
+            float(cmax), D, cpv, skip_empty, hs8=hs8)
+    if hs8:
+        feat_vol = _h_copies(feat_vol)
+        dens_vol = _h_copies(dens_vol)
     dirs_pad = jnp.pad(dirs.astype(jnp.float32),
                        ((0, 0), (0, 0), (0, 0), (0, 125)))
     g = g.astype(jnp.float32)
@@ -1037,8 +1141,12 @@ def render_volume_pallas_bwd(
         n_pts=n_pts_per_ray, min_depth=float(min_depth),
         max_depth=float(max_depth), cmax=float(cmax), D=D, C=C0,
         mm_dtype=mm_dtype, ray_grads=ray_grads, cpv=cpv,
-        skip_empty=skip_empty,
+        skip_empty=skip_empty, hs8=hs8,
     )
+    vol_block = ((1, NSHIFT, D, H, W * C0) if hs8 else (1, D, H, W * C0))
+    den_block = ((1, NSHIFT, D, H, W) if hs8 else (1, D, H, W))
+    vol_imap = ((lambda b, i, j: (b // cpv, 0, 0, 0, 0)) if hs8
+                else (lambda b, i, j: (b // cpv, 0, 0, 0)))
     d_dens, d_ray, w_stash = pl.pallas_call(
         kern_a,
         grid=(B, nt, nt),
@@ -1047,11 +1155,10 @@ def render_volume_pallas_bwd(
             pl.BlockSpec((1, TILE, TILE, 128), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
             _meta_spec(nt, G),
-            pl.BlockSpec((1, D, H, W * C0),
-                         lambda b, i, j: (b // cpv, 0, 0, 0),
+            pl.BlockSpec(vol_block, vol_imap,
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
+            pl.BlockSpec(den_block, vol_imap,
                          pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, TILE, C0 + 2),
@@ -1062,8 +1169,7 @@ def render_volume_pallas_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, H, W), lambda b, i, j: (b // cpv, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(den_block, vol_imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, TILE, 8), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, n_pts_per_ray, TILE * TILE),
@@ -1071,14 +1177,22 @@ def render_volume_pallas_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((V, D, H, W), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (V, NSHIFT, D, H, W) if hs8 else (V, D, H, W), jnp.float32),
             jax.ShapeDtypeStruct((B, image_size, image_size, 8), jnp.float32),
             jax.ShapeDtypeStruct(
                 (B, nt, nt, n_pts_per_ray, TILE * TILE), jnp.float32),
         ],
-        compiler_params=_BWD_PARAMS,
+        compiler_params=(_HS8_PARAMS if hs8 else _BWD_PARAMS),
         interpret=interpret,
     )(origins.astype(jnp.float32), dirs_pad, meta, feat_vol, dens_vol, g, tp)
+    if hs8:
+        # un-shift the per-copy-space density gradients: copy s row h
+        # covered volume row h + s
+        acc = d_dens[:, 0]
+        for s_ in range(1, NSHIFT):
+            acc = acc.at[:, :, s_:].add(d_dens[:, s_, :, :-s_])
+        d_dens = acc
 
     # c-major chunked cotangent image for kernel B
     g_chunks = g[..., :C0].reshape(
@@ -1229,15 +1343,18 @@ def check_brick_coverage(K, R, t, image_size, n_pts_per_ray,
             worst["x"] = max(worst["x"], float(span[..., 0].max()))
             worst["h"] = max(worst["h"], float(span[..., 1].max()))
             worst["z"] = max(worst["z"], float(span[..., 2].max()))
-    # +2 tent reach (+-1), +1 floor slack; h/x also pay up-to-7 base alignment
+    # +2 tent reach (+-1), +1 floor slack; x (and h without the HS8 shift
+    # copies) also pays up-to-7 base alignment
+    hs8 = _hs8(D)
     need = {
         "z": worst["z"] + 3.0,
-        "h": worst["h"] + 3.0 + 7.0,
+        "h": worst["h"] + 3.0 + (0.0 if hs8 else 7.0),
         "x": worst["x"] + 3.0 + 7.0,
     }
+    bh = _bh(D, hs8)
     return {
         "need": need,
-        "brick": {"z": _bz(D), "h": BH, "x": BX},
-        "ok": (need["z"] <= _bz(D) and need["h"] <= BH
+        "brick": {"z": _bz(D), "h": bh, "x": BX},
+        "ok": (need["z"] <= _bz(D) and need["h"] <= bh
                and need["x"] <= BX),
     }
