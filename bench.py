@@ -80,9 +80,12 @@ def _setup(backend: str, b: int = 1):
     # Random (NOT zero) weights: zero weights decode an all-zero density
     # volume, which the renderer's exact empty-brick skip turns into an
     # empty-scene fast path — random weights are the dense worst case.
-    # FORGE_BENCH_CHECKPOINT benches a real trained checkpoint instead
-    # (sparse object scenes; faster).
-    cpt = os.environ.get("FORGE_BENCH_CHECKPOINT", "")
+    # A trained checkpoint (FORGE_BENCH_CHECKPOINT or auto-discovered under
+    # artifacts/) is benched ALONGSIDE dense, not instead — see
+    # _find_checkpoint/_load_cpt_variables; the dense number stays the
+    # headline (honest worst case), extra.checkpoint_* carries the
+    # real-object-scene numbers.
+    cpt = ""
     variables = ge.bench_variables(model, sample)
     # Round-4 honesty fix: random weights do NOT decode a dense volume — the
     # density head's ReLU left the round-3 bench volumes ~EMPTY (positive
@@ -96,16 +99,51 @@ def _setup(backend: str, b: int = 1):
         if ("dh_conv2" in "/".join(str(p) for p in path)
             and "bias" in str(path[-1])) else x,
         variables)
-    if cpt:
-        from forge_tpu.utils import checkpoint as CKPT
-
-        raw = CKPT.load_checkpoint(cpt)
-        src = raw.get("variables", raw)
-        if "params" not in src and "state" in raw:
-            src = {"params": raw["state"]["params"],
-                   "batch_stats": raw["state"].get("batch_stats", {})}
-        variables = CKPT.load_subtrees(variables, src, ["*"], [])
     return cfg, model, sample, variables
+
+
+def _find_checkpoint():
+    """FORGE_BENCH_CHECKPOINT, else the newest curriculum checkpoint under
+    artifacts/ (best-metric preferred, cpt_last fallback)."""
+    import glob
+
+    p = os.environ.get("FORGE_BENCH_CHECKPOINT", "")
+    if p:
+        return p
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts")
+    cands = (glob.glob(os.path.join(root, "curriculum*", "**", "cpt_best_*"),
+                       recursive=True)
+             + glob.glob(os.path.join(root, "curriculum*", "**", "cpt_last"),
+                         recursive=True))
+    cands = [c for c in cands if os.path.exists(c)]
+    return max(cands, key=os.path.getmtime) if cands else ""
+
+
+def _load_cpt_variables(variables, cpt):
+    from forge_tpu.utils import checkpoint as CKPT
+
+    raw = CKPT.load_checkpoint(cpt)
+    src = raw.get("variables", raw)
+    if "params" not in src and "state" in raw:
+        src = {"params": raw["state"]["params"],
+               "batch_stats": raw["state"].get("batch_stats", {})}
+    return CKPT.load_subtrees(variables, src, ["*"], [])
+
+
+def _cpt_hash(cpt):
+    import hashlib
+
+    h = hashlib.sha1()
+    if os.path.isdir(cpt):
+        for root, _, files in os.walk(cpt):
+            for f in sorted(files):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read(1 << 20))
+    else:
+        with open(cpt, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def _measure_forward(backend: str):
@@ -117,6 +155,65 @@ def _measure_forward(backend: str):
     # which 413s above ~300 MB (OPTIMIZATION.md round-3 findings)
     fn = jax.jit(lambda v, s: model.apply(v, s, TrainFlags.none()))
     return _time_best(fn, (variables, sample))
+
+
+V5E_BF16_PEAK = 394e12   # bf16 TFLOP/s, one v5e chip
+
+
+def _render_pass_model():
+    """Forward-kernel MXU pass-model FLOPs per live depth-group, derived
+    from the CURRENT kernel constants (OPTIMIZATION.md 'MXU pass-unit
+    model'): one unit = a 128^3 MXU pass = 2 * 128^3 FLOPs. Dense scenes
+    make every group live, so model_flops = units * groups."""
+    import math
+
+    import forge_tpu.ops.ray_march_pallas as RP
+
+    D, C, spi = 64, 16, RP.SPI
+    R = RP.TILE * RP.TILE
+    bz = RP._bz(D)
+    bh = RP._bh(D, RP._hs8(D))
+    kp = math.ceil(bz * bh / 128)          # zh contraction K-passes
+    mp = math.ceil(spi * R / 128)          # row passes
+    np_m1 = math.ceil(RP.BX * C / 128)     # feature N-passes
+    np_d1 = math.ceil(D / 128)             # density N-passes
+    units = kp * mp * (np_m1 + np_d1)
+    if not RP.SELSUM:
+        units += math.ceil(RP.BX * C / 128) * mp * 1   # select matmul
+    return units * 2 * 128 ** 3
+
+
+def _measure_render_mfu(n_iter=4):
+    """Raw fused-kernel forward at dense flagship shapes (1 volume, 10
+    grouped cameras @128^2 x 64) -> (ms, MFU vs v5e bf16 peak under the
+    kernel's own pass model). The MFU line makes kernel-efficiency progress
+    judgeable round over round independent of model-graph changes
+    (VERDICT r4 #6)."""
+    import numpy as np
+
+    import forge_tpu.ops.ray_march_pallas as RP
+
+    rng = np.random.RandomState(0)
+    V, cpv, S, img, npts, C = 1, 10, 64, 128, 64, 16
+    feats = jnp.asarray(rng.rand(V, S, S, S, C).astype(np.float32))
+    dens = jnp.asarray((rng.rand(V, S, S, S, 1) * 0.2).astype(np.float32))
+    B = V * cpv
+    f = 140.0
+    K = jnp.asarray(np.tile(np.array(
+        [[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1)))
+    Rm = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    t = jnp.asarray((np.array([0, 0, 1.5], np.float32)
+                     + 0.01 * np.arange(B)[:, None]
+                     * np.array([1, 0.5, 0.2])).astype(np.float32))
+    fn = jax.jit(lambda fe, de: RP.render_volume_pallas(
+        fe, de, K, Rm, t, img, npts, 0.5, 2.0, 1.0, cams_per_volume=cpv))
+    dt = chip_time(fn, [(perturb_tree(feats, i), dens)
+                        for i in range(n_iter)])
+    nt = img // RP.TILE
+    groups = B * nt * nt * (npts // RP._spi(npts))
+    flops = _render_pass_model() * groups
+    return dt * 1e3, flops / dt / V5E_BF16_PEAK
 
 
 def _measure_refine(backend: str, chunk: int = 10, b: int = 1):
@@ -329,6 +426,34 @@ def main():
                 _sync()
         except Exception as e:
             extra["objects_per_sec_batched"] = f"failed: {e}"[:120]
+        try:
+            # raw-kernel MFU trend line (dense, kernel pass model)
+            print("# measuring render MFU", flush=True)
+            rms, mfu = _measure_render_mfu()
+            extra["render_fwd_ms_dense"] = round(rms, 1)
+            extra["render_mfu"] = round(mfu, 3)
+        except Exception as e:
+            extra["render_mfu"] = f"failed: {e}"[:120]
+        try:
+            cpt = _find_checkpoint()
+            if cpt:
+                # real-object-scene throughput alongside the dense headline
+                print(f"# measuring checkpoint forward b=8 ({cpt})",
+                      flush=True)
+                from forge_tpu.models import TrainFlags
+
+                cfgc, modelc, samplec, varc = _setup(best_backend, b=8)
+                varc = _load_cpt_variables(varc, cpt)
+                fnc = jax.jit(lambda v, s: modelc.apply(
+                    v, s, TrainFlags.none()))
+                dtc = _time_best(fnc, (varc, samplec), n_iter=3)
+                extra["checkpoint_objects_per_sec_b8"] = round(8.0 / dtc, 3)
+                extra["checkpoint"] = {
+                    "path": os.path.relpath(
+                        cpt, os.path.dirname(os.path.abspath(__file__))),
+                    "sha1": _cpt_hash(cpt)}
+        except Exception as e:
+            extra["checkpoint_objects_per_sec_b8"] = f"failed: {e}"[:120]
         try:
             print("# measuring refinement b=1", flush=True)
             refine_ms = _measure_refine(best_backend) * 1e3
