@@ -85,7 +85,10 @@ B1CHUNK = _V5
 # dd 6 -> 4. Costs 8x volume HBM/VMEM residency (67 MB bf16 feature copies
 # at 64^3 x 16, under the raised vmem limit); only volumes with D >= 64 use
 # it (smaller test volumes' tile frusta outgrow the 16-row window).
-HS8 = os.environ.get("FORGE_RENDER_HS8", "0") != "0"
+# Chip-validated round 5 (v5_probe + brick_probe random rotations + sparse):
+# dense grouped fwd 38.9 -> 30.2 ms, fwd+bwd 200 -> 161.6 ms; parity
+# maxabs 0.0027 vs f32 XLA, grads <= 0.14% rel. Default ON for D >= 64.
+HS8 = os.environ.get("FORGE_RENDER_HS8", "1") != "0"
 BH_T = 16       # tight h-window (footprint + tent reach, no alignment tax)
 NSHIFT = 8
 
@@ -606,8 +609,10 @@ CC = 8          # feature channels per kernel-B chunk
 # 32.14 MB scoped, 144 KB over the old 32 MB limit).
 _BWD_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # HS8 keeps all 8 h-shift copies VMEM-resident (67 MB bf16 features +
-# 4 MB densities at flagship 64^3 x 16)
-_HS8_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# 4 MB densities at flagship 64^3 x 16). 112 MB: the ungrouped (cpv=1)
+# backward measures 104.3 MB scoped (per-camera volume blocks re-buffer
+# every program); v5e physical VMEM is 128 MB.
+_HS8_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _geometry(origin_ref, dirs_ref, b, n_pts, min_depth, max_depth, cmax, D):
