@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import functools
 import os
-import time
 from itertools import combinations
 from typing import Callable, Dict, Optional
 
@@ -31,6 +30,10 @@ from forge_tpu.config import Config
 from forge_tpu.models.forge import FORGE, TrainFlags
 from forge_tpu.eval import metrics as M
 from forge_tpu.eval import sync as S
+from forge_tpu.eval.runner import (
+    brick_coverage_guard, make_recover, run_shard)
+from forge_tpu.eval.visualize import (
+    vis_pose_frusta, visualize_360, visualize_360_all)
 from forge_tpu.data import pose_np
 from forge_tpu.geometry.rotations import quat2mat, mat2quat
 
@@ -283,123 +286,6 @@ def _poses_cv2_from_vec(pose_vec, camera_z: float) -> np.ndarray:
     return pose_np.canonicalize_poses(canon, rel)
 
 
-def _vis_poses(entry, pose_vec, cfg, output_dir, name, batch_idx):
-    """Frustum plot of predicted vs GT camera poses; the GT z column is
-    shifted by -camera_z like the reference (kubric_eval.py:554-557 — the
-    omniobject variant uses its own camera_z 4.0, omniobject_eval.py:557;
-    parameterized here via cfg.render.camera_z)."""
-    import os as _os
-
-    from forge_tpu.utils.vis import vis_poses
-
-    pred = _poses_cv2_from_vec(pose_vec, cfg.render.camera_z)
-    gt = np.asarray(entry["gt_poses"]).reshape(-1, 4, 4).copy()
-    gt[:, 2, 3] -= cfg.render.camera_z
-    vis_poses(None, pred[None], gt[None], output_dir,
-              subfolder=_os.path.join("poses", name, str(batch_idx)))
-
-
-def visualize_360(model, variables, entry, camK, cfg, output_dir, name,
-                  batch_idx, n_views: int = 28, combination=None):
-    """Turntable GIF from the current pose estimate
-    (reference: kubric_eval.py:166-232). combination: optional view-index
-    subset (of views 1..t-1) fused together with the canonical view
-    (reference's `combination` arg, kubric_eval.py:180-186)."""
-    from forge_tpu.geometry.cameras import look_at_view_transform_cv2
-    from forge_tpu.utils.vis import vis_nvs
-
-    features_raw = np.asarray(entry["features_raw"])
-    poses_cam = np.asarray(entry["poses_cam"])
-    img_name = f"{batch_idx}"
-    if combination is not None:
-        views = [0] + list(combination)
-        features_raw = features_raw[:, views]
-        poses_cam = poses_cam[[v - 1 for v in combination]]
-        img_name = "sample{}_{}views_{}".format(
-            batch_idx, len(combination),
-            "_".join(str(v) for v in combination))
-
-    R, t = look_at_view_transform_cv2(
-        dist=np.full(n_views, cfg.render.camera_z),
-        elev=np.zeros(n_views),
-        azim=np.linspace(0, 360, n_views) + 180,
-    )
-    extr = np.tile(np.eye(4, dtype=np.float32), (1, n_views, 1, 1))
-    extr[0, :, :3, :3] = R
-    extr[0, :, :3, 3] = t
-    nvs_K = np.tile(np.asarray(camK)[:, :1], (1, n_views, 1, 1))
-    renderer = make_eval_renderer(model)
-    imgs, masks, depths = renderer(
-        variables, jnp.asarray(features_raw),
-        jnp.asarray(poses_cam), jnp.asarray(camK),
-        jnp.asarray(extr), jnp.asarray(nvs_K),
-    )
-    return vis_nvs(np.asarray(imgs).astype(np.float32),
-                   img_name, output_dir,
-                   subfolder=os.path.join("vis_360", name),
-                   masks=np.asarray(masks), depths=np.asarray(depths))
-
-
-def visualize_360_all(model, variables, entry, camK, cfg, output_dir, name,
-                      batch_idx, n_views: int = 28):
-    """Turntable GIFs for every non-empty subset of the non-canonical views
-    fused with the canonical one (reference: kubric_eval.py:148-163)."""
-    # divergence note: the reference enumerates subsets of ALL views and
-    # prepends the canonical view even when already present (duplicating
-    # view 0 for subsets containing it, kubric_eval.py:161-163,182); we
-    # enumerate subsets of the non-canonical views, which covers the same
-    # distinct fusions without the duplicate-view renders.
-    t = entry["features_raw"].shape[1]
-    for r in range(1, t):
-        for comb in combinations(range(1, t), r):
-            visualize_360(model, variables, entry, camK, cfg, output_dir,
-                          name, batch_idx, n_views=n_views,
-                          combination=list(comb))
-
-
-def brick_coverage_guard(model, cfg, sample):
-    """Check the pallas kernel's brick envelope against real eval cameras.
-
-    The fused kernel shares one fixed-size voxel brick per ray tile; cameras
-    whose tile frusta span more voxels than the brick (wide FOV, very close
-    orbits, or refinement wandering beyond the training distribution) lose
-    tent weight SILENTLY (ops/ray_march_pallas.py:check_brick_coverage). The
-    measured flagship envelope has ~0.5 voxel z-margin, so enforcement
-    belongs at runtime, not only in tests. Checks this instance's cameras
-    plus a 0.8x-radius excursion (refinement moving cameras closer enlarges
-    the per-tile footprint) and returns (model, cfg) rebuilt onto the 'xla'
-    renderer when the envelope is exceeded, else (None, None).
-    """
-    from forge_tpu.config import merge_config
-    from forge_tpu.ops.ray_march import pallas_supports, resolve_backend
-    from forge_tpu.ops.ray_march_pallas import check_brick_coverage
-
-    half = cfg.dataset.img_size // 2
-    D = cfg.dataset.img_size // 4
-    if (resolve_backend(cfg.render.backend) != "pallas"
-            or not pallas_supports((1, D, D, D, 16), half)):
-        return None, None   # pallas never engages; nothing to guard
-    K = np.asarray(sample["K_cv2"], np.float64).reshape(-1, 3, 3) / 2.0
-    K[:, 2, 2] = 1.0
-    extr = np.asarray(
-        sample.get("cam_extrinsics_cv2_canonicalized",
-                   sample["cam_extrinsics_cv2"]), np.float64).reshape(-1, 4, 4)
-    r = cfg.render
-    ok = True
-    for f in (1.0, 0.8):
-        out = check_brick_coverage(
-            K, extr[:, :3, :3], extr[:, :3, 3] * f, half, r.n_pts_per_ray,
-            r.min_depth, r.max_depth, r.volume_size, D)
-        ok = ok and out["ok"]
-    if ok:
-        return None, None
-    print("brick_coverage_guard: eval cameras exceed the pallas brick "
-          f"envelope ({out['need']} vs {out['brick']}); falling back to the "
-          "xla renderer for this eval run")
-    new_cfg = merge_config(cfg, {"render": {"backend": "xla"}})
-    return model.clone(cfg=new_cfg), new_cfg
-
-
 def run_optimization(
     model: FORGE, variables, loader, cfg: Config, output_dir: str,
     refiner: Optional[Callable] = None,
@@ -482,147 +368,94 @@ def run_optimization(
     if lpips_builder is not None:
         lpips_fn = lpips_builder()
     pose_log = {}
-    done = 0
-    coverage_checked = False
 
-    def recover() -> bool:
-        """Re-upload weights and rebuild jitted closures after a device
-        failure (round-1 note: TPU worker crashes under sustained eval load,
-        OPTIMIZATION.md). The worker self-restarts in ~minutes, so retry the
-        re-upload with backoff instead of letting a device_put against a
-        still-dead worker abort the whole eval shard."""
+    def rebuild():
+        """Re-upload weights and rebuild every jitted closure (they capture
+        device buffers, which die with a worker restart)."""
         nonlocal variables, vr, refiner, renderer, encode, lpips_fn
-        for wait in (5, 15, 30, 60, 120, 180):
-            try:
-                jax.clear_caches()
-                variables = jax.device_put(host_vars)
-                vr = (jax.device_put(host_vr) if host_vr is not None
-                      else variables)
-                refiner = user_refiner or jax.jit(
-                    make_refiner(model, cfg, refine_chunk))
-                renderer = make_eval_renderer(model)
-                encode = jax.jit(
-                    lambda v, x: model.apply(
-                        v, x, method=model.encode_and_predict_poses)
-                )
-                if lpips_builder is not None:
-                    lpips_fn = lpips_builder()
-                return True
-            except (KeyboardInterrupt, SystemExit):
-                raise
-            except Exception as e:
-                print(f"recover failed ({e}); retrying in {wait}s")
-                time.sleep(wait)
-        return False
+        variables = jax.device_put(host_vars)
+        vr = (jax.device_put(host_vr) if host_vr is not None
+              else variables)
+        refiner = user_refiner or jax.jit(
+            make_refiner(model, cfg, refine_chunk))
+        renderer = make_eval_renderer(model)
+        encode = jax.jit(
+            lambda v, x: model.apply(
+                v, x, method=model.encode_and_predict_poses)
+        )
+        if lpips_builder is not None:
+            lpips_fn = lpips_builder()
+
+    recover = make_recover(rebuild)
+
+    def on_first_sample(sample):
+        # The pallas kernel's fixed brick sizes silently drop tent weight
+        # for cameras outside the measured envelope; enforce coverage
+        # against this eval's ACTUAL camera distribution (with a
+        # refinement-excursion margin) before the first render, falling
+        # back to the xla renderer when the envelope is exceeded.
+        nonlocal model, cfg, refine_chunk, n_refine_chunks
+        nonlocal refiner, renderer, encode
+        g_model, g_cfg = brick_coverage_guard(model, cfg, sample)
+        if g_model is not None:
+            model, cfg = g_model, g_cfg
+            refine_chunk = min(iter_num, int(os.environ.get(
+                "FORGE_REFINE_CHUNK", 20)))
+            n_refine_chunks = max(1, -(-iter_num // refine_chunk))
+            refiner = user_refiner or jax.jit(
+                make_refiner(model, cfg, refine_chunk))
+            renderer = make_eval_renderer(model)
+            encode = jax.jit(
+                lambda v, x: model.apply(
+                    v, x, method=model.encode_and_predict_poses))
 
     if refine_batch > 1 and refine_multistart:
         print("note: --refine-batch is superseded by --refine-multistart "
               "(each instance already refines its 5 candidates as one "
               "batched scan); instance windows are not formed")
-    pending = []
 
-    def flush_window():
-        """Batched refinement + after-eval for the queued window. A device
-        failure mid-window falls back to per-instance refinement (after one
-        recovery) so one bad instance cannot sink its window-mates."""
-        ctxs = list(pending)
-        pending.clear()
-        try:
-            refined, _losses = _refine_window(
-                refiner, vr, ctxs, n_refine_chunks, pad_to=refine_batch)
-            for ctx, r in zip(ctxs, refined):
-                _post_instance(
-                    model, vr, ctx, r, cfg, renderer, lpips_fn, visualize,
-                    visualize_all, output_dir, outfile, pose_log,
-                    lpips_label=lpips_label)
-        except (KeyboardInterrupt, SystemExit):
-            raise
-        except Exception as e:
-            print(f"batched refinement window failed ({e}); "
-                  f"falling back to per-instance")
-            if not recover():
-                print("window skipped: device recovery failed")
-                return
-            for ctx in ctxs:
-                try:
-                    r = _refine_window(refiner, vr, [ctx], n_refine_chunks)[0][0]
-                    _post_instance(
-                        model, vr, ctx, r, cfg, renderer, lpips_fn,
-                        visualize, visualize_all, output_dir, outfile,
-                        pose_log, lpips_label=lpips_label)
-                except (KeyboardInterrupt, SystemExit):
-                    raise
-                except Exception as e2:
-                    print(f"{ctx['batch_idx']} skipped in fallback: {e2}")
+    def run_one(sample, batch_idx, seen):
+        _run_instance(
+            model, variables, vr, sample, cfg, batch_idx, seen,
+            encode, renderer, refiner, n_refine_chunks, lpips_fn,
+            use_sync, visualize, output_dir, outfile, pose_log,
+            lpips_label=lpips_label, visualize_all=visualize_all,
+            sync_backend=sync_backend, multistart=refine_multistart)
 
-    for batch_idx, sample in enumerate(loader):
-        if batch_idx % split_num != exp_id:
-            continue
-        if max_instances is not None and done >= max_instances:
-            break
-        done += 1
-        seen = (float(np.asarray(sample["seen_flag"]).ravel()[0]) > 0
-                if "seen_flag" in sample else True)
+    def queue_one(sample, batch_idx, seen):
+        # window mode: run the per-instance phase now, queue the context;
+        # refinement runs batched when the window fills
+        return _pre_instance(
+            model, variables, vr, sample, cfg, batch_idx, seen,
+            encode, renderer, lpips_fn, use_sync, visualize,
+            visualize_all, output_dir, sync_backend=sync_backend)
 
-        if not coverage_checked:
-            # The pallas kernel's fixed brick sizes silently drop tent weight
-            # for cameras outside the measured envelope; enforce coverage
-            # against this eval's ACTUAL camera distribution (with a
-            # refinement-excursion margin) before the first render, falling
-            # back to the xla renderer when the envelope is exceeded.
-            coverage_checked = True
-            g_model, g_cfg = brick_coverage_guard(model, cfg, sample)
-            if g_model is not None:
-                model, cfg = g_model, g_cfg
-                refine_chunk = min(iter_num, int(os.environ.get(
-                    "FORGE_REFINE_CHUNK", 20)))
-                n_refine_chunks = max(1, -(-iter_num // refine_chunk))
-                refiner = user_refiner or jax.jit(
-                    make_refiner(model, cfg, refine_chunk))
-                renderer = make_eval_renderer(model)
-                encode = jax.jit(
-                    lambda v, x: model.apply(
-                        v, x, method=model.encode_and_predict_poses))
+    def post(ctx, refined):
+        _post_instance(
+            model, vr, ctx, refined, cfg, renderer, lpips_fn, visualize,
+            visualize_all, output_dir, outfile, pose_log,
+            lpips_label=lpips_label)
 
-        for attempt in range(instance_retries + 1):
-            try:
-                if refine_batch > 1 and not refine_multistart:
-                    # window mode: run the per-instance phase now, queue the
-                    # context; refinement runs batched when the window fills
-                    ctx = _pre_instance(
-                        model, variables, vr, sample, cfg, batch_idx, seen,
-                        encode, renderer, lpips_fn, use_sync, visualize,
-                        visualize_all, output_dir, sync_backend=sync_backend)
-                    pending.append(ctx)
-                    if len(pending) >= refine_batch:
-                        flush_window()
-                else:
-                    _run_instance(
-                        model, variables, vr, sample, cfg, batch_idx, seen,
-                        encode, renderer, refiner, n_refine_chunks, lpips_fn,
-                        use_sync, visualize, output_dir, outfile, pose_log,
-                        lpips_label=lpips_label, visualize_all=visualize_all,
-                        sync_backend=sync_backend,
-                        multistart=refine_multistart)
-                break
-            except (KeyboardInterrupt, SystemExit):
-                raise
-            except Exception as e:
-                if attempt >= instance_retries:
-                    print(f"{batch_idx} skipped after "
-                          f"{instance_retries + 1} attempts: {e}")
-                else:
-                    print(f"{batch_idx} attempt {attempt + 1} failed "
-                          f"({e}); re-uploading weights and retrying")
-                    if not recover():
-                        print(f"{batch_idx} skipped: device recovery failed")
-                        break
+    def flush_window(ctxs):
+        refined, _losses = _refine_window(
+            refiner, vr, ctxs, n_refine_chunks, pad_to=refine_batch)
+        for ctx, r in zip(ctxs, refined):
+            post(ctx, r)
+
+    def flush_one(ctx):
+        post(ctx, _refine_window(refiner, vr, [ctx], n_refine_chunks)[0][0])
+
+    def save_state():
         np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
                               for i in pose_log for n in pose_log[i]})
-    if pending:
-        flush_window()
-        np.savez(posefile, **{f"{i}_{n}": pose_log[i][n]
-                              for i in pose_log for n in pose_log[i]})
+
+    run_shard(
+        loader, split_num=split_num, exp_id=exp_id,
+        max_instances=max_instances, instance_retries=instance_retries,
+        recover=recover, run_one=run_one, queue_one=queue_one,
+        flush_one=flush_one, flush_window=flush_window,
+        window=(refine_batch if not refine_multistart else 1),
+        on_first_sample=on_first_sample, save_state=save_state)
     return outfile
 
 
@@ -643,7 +476,7 @@ def _pre_instance(model, variables, vr, sample, cfg, batch_idx, seen,
     if visualize:
         visualize_360(model, vr, entry, camK5, cfg, output_dir,
                       "before", batch_idx)
-        _vis_poses(entry, entry["poses_cam"], cfg, output_dir,
+        vis_pose_frusta(entry, entry["poses_cam"], cfg, output_dir,
                    "before", batch_idx)
     if visualize_all:
         visualize_360_all(model, vr, entry, camK5, cfg, output_dir,
@@ -751,7 +584,7 @@ def _post_instance(model, vr, ctx, refined, cfg, renderer, lpips_fn,
     if visualize:
         visualize_360(model, vr, entry_after, ctx["camK5"], cfg,
                       output_dir, "after", batch_idx)
-        _vis_poses(entry, refined, cfg, output_dir, "after", batch_idx)
+        vis_pose_frusta(entry, refined, cfg, output_dir, "after", batch_idx)
     if visualize_all:
         visualize_360_all(model, vr, entry_after, ctx["camK5"], cfg,
                           output_dir, "after_all", batch_idx)

@@ -50,3 +50,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+# Suite wall-clock budget (round-4 verdict #9): the full 96-test suite runs
+# ~11.5 min warm-cache on this 1-2-core host; keep it there as tests grow.
+# Soft enforcement — a cold compile cache legitimately blows the budget, so
+# warn loudly instead of failing (override via FORGE_SUITE_BUDGET_S).
+import time as _time  # noqa: E402
+
+_SUITE_T0 = _time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    dt = _time.time() - _SUITE_T0
+    budget = float(os.environ.get("FORGE_SUITE_BUDGET_S", "780"))
+    if dt > budget:
+        print(f"\n[suite-budget] WARNING: suite took {dt:.0f}s > "
+              f"{budget:.0f}s warm-cache budget. If the compile cache was "
+              "warm, trim or re-mark the slowest tests (pytest --durations).")
