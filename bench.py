@@ -413,7 +413,7 @@ def main():
             import __graft_entry__ as ge
             from forge_tpu.models import build_model, TrainFlags
 
-            for b in (4, 8):
+            for b in (4, 8, 16):
                 print(f"# measuring batched forward b={b}", flush=True)
                 cfg, model, sample, variables = _setup(best_backend, b=b)
                 fn = jax.jit(lambda v, s: model.apply(v, s,
