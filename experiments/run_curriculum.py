@@ -48,8 +48,12 @@ if SCALE == "full512":
     # gt: 4 epochs continue a warm start; a COLD start (no FORGE_GT_INIT —
     # the Aug-21 container wipe destroyed every prior checkpoint) needs the
     # round-3 step budget (~1280 steps = 10 epochs at 512 scenes / b=4)
+    # round-5 measurement: at 1024 scenes with a cold-start GT encoder the
+    # pose estimators fully memorize the train split by ~epoch 150-250 (train
+    # pose-loss 6e-4 while val rot bounces ~30 deg); best-rot checkpoint
+    # selection makes epochs past ~300 pure chip-time waste.
     EPOCHS = dict(gt=(4 if os.environ.get("FORGE_GT_INIT") else 10),
-                  p3d=500, p2d=500, head=12, pose=200, joint=16)
+                  p3d=500, p2d=300, head=12, pose=200, joint=16)
     VAL_EVERY = dict(gt=2, p3d=50, p2d=50, head=6, pose=25, joint=4)
     SAVE_EVERY = dict(gt=2, p3d=25, p2d=25, head=6, pose=10, joint=2)
     POSE_SEQS = 1024
