@@ -56,36 +56,33 @@ def main():
 
         xspaces = glob.glob(os.path.join(runs[-1], "*.xplane.pb"))
         data, _ = rtd.xspace_to_tool_data(xspaces, "hlo_stats", {})
-        import csv
-        import io
+        import json
 
-        rows = list(csv.reader(io.StringIO(
-            data.decode() if isinstance(data, bytes) else data)))
-        head = rows[0]
-        print("columns:", head)
-        try:
-            i_name = head.index("HLO name")
-        except ValueError:
-            i_name = 1
-        cand = [c for c in ("Total self time (us)", "Self time (us)",
-                            "total_self_time_us") if c in head]
-        i_t = head.index(cand[0]) if cand else -2
-        i_cat = head.index("HLO category") if "HLO category" in head else None
-        body = rows[1:]
+        # xprof returns the hlo_stats table as gviz JSON
+        # ({"cols":[{label,...}],"rows":[{"c":[{"v":...},...]}]})
+        obj = json.loads(data.decode() if isinstance(data, bytes) else data)
+        cols = [c["label"] for c in obj["cols"]]
+        i_cat = cols.index("HLO op category")
+        i_name = cols.index("HLO op name")
+        i_t = cols.index("Total self time (us)")
+        i_occ = cols.index("#Occurrences")
+        body = [[c.get("v") if c else None for c in r["c"]]
+                for r in obj["rows"]]
         body.sort(key=lambda r: -float(r[i_t] or 0))
         tot = sum(float(r[i_t] or 0) for r in body)
         print(f"\ntotal device self time: {tot/1e3:.1f} ms over 3 steps "
               f"({tot/3e3:.1f} ms/step)")
         agg = {}
         for r in body:
-            cat = r[i_cat] if i_cat is not None else "?"
+            cat = str(r[i_cat])
             agg[cat] = agg.get(cat, 0.0) + float(r[i_t] or 0)
         print("\nby category (ms/step):")
         for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
             print(f"  {k:40s} {v/3e3:9.2f}")
         print("\ntop 25 ops (ms/step):")
         for r in body[:25]:
-            print(f"  {float(r[i_t])/3e3:8.2f}  {r[i_name][:100]}")
+            print(f"  {float(r[i_t])/3e3:8.2f}  x{int(float(r[i_occ] or 0))}"
+                  f"  {str(r[i_name])[:100]}")
     except Exception as e:
         print(f"xprof parse failed ({e}); raw trace left in {tdir}")
 
