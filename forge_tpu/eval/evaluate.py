@@ -17,9 +17,7 @@ like the reference's 8-process eval scripts (kubric_eval.py:56-57).
 
 from __future__ import annotations
 
-import functools
 import os
-from itertools import combinations
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -29,7 +27,8 @@ import jax.numpy as jnp
 from forge_tpu.config import Config
 from forge_tpu.models.forge import FORGE, TrainFlags
 from forge_tpu.eval import metrics as M
-from forge_tpu.eval import sync as S
+from forge_tpu.eval.sync import sync_pose  # noqa: F401  (re-export; the
+# pairwise-graph synchronization semantics live with the sync algorithm)
 from forge_tpu.eval.runner import (
     brick_coverage_guard, make_recover, run_shard)
 from forge_tpu.eval.visualize import (
@@ -199,81 +198,6 @@ def evaluate_all(model, variables, sample, return_dict, cfg,
         )
     best = min(results, key=lambda k: results[k]["rot_error"])
     return best, results
-
-
-def _jitted_sync(pairs, N, squares, center_first):
-    """Jit-compiled f32 power-iteration sync specialized to a static pair set
-    (BASELINE north star: camera synchronization as jit-compiled loops).
-    Cached so repeated instances reuse the compiled program."""
-    import jax
-
-    def f(ps_vals, conf_vals):
-        Ps = dict(zip(pairs, ps_vals))
-        conf = dict(zip(pairs, conf_vals))
-        return S.camera_synchronization_jax(
-            Ps, conf, N=N, squares=squares, center_first_camera=center_first)
-
-    return jax.jit(f)
-
-
-_jitted_sync = functools.lru_cache(maxsize=8)(_jitted_sync)
-
-
-def sync_pose(return_dict: Dict, best_canonical_id: str, cfg: Config,
-              backend: str = "host") -> np.ndarray:
-    """Synchronize the 5x4 pairwise pose predictions (reference: kubric_eval.py:95-145).
-
-    backend 'host': float64 numpy power iteration (reference semantics,
-    utils/sync_utils.py:76-191). 'jit': the compiled f32 variant with
-    compensated renormalization (eval/sync.py:115-195; accuracy vs f64
-    tested in tests/test_eval.py).
-    """
-    t = len(return_dict)
-    pose_dict = {}
-    best_pairs = []
-    for key, entry in return_dict.items():
-        mats = np.asarray(quat2mat(jnp.asarray(entry["poses_cam"])))
-        perm = entry["permutation"]
-        assert key == str(perm[0])
-        for idx in range(t - 1):
-            pose_dict[(int(key), perm[idx + 1])] = mats[idx]
-            if key == str(best_canonical_id):
-                best_pairs.append((int(key), idx))
-
-    conf_dict = {}
-    eye_q = np.array([1.0, 0, 0, 0, 0, 0, 0])
-    for i in range(t):
-        for j in range(t):
-            if i == j:
-                conf_dict[(i, j)] = 1.0
-            else:
-                cycle = pose_dict[(i, j)] @ pose_dict[(j, i)]
-                q = np.asarray(mat2quat(jnp.asarray(cycle[None])))[0]
-                theta, _ = M.compute_pose_metric(q, eye_q)
-                conf_dict[(i, j)] = (np.cos(theta * np.pi / 180.0) + 1) / 2
-
-    Ps, confidence = {}, {}
-    for pair in combinations(range(t), 2):
-        confidence[pair] = np.asarray([conf_dict[pair]], np.float64)
-        if pair in best_pairs or pair[::-1] not in best_pairs:
-            Ps[pair] = pose_np.se3_inverse(pose_dict[pair][None])
-        else:
-            Ps[pair] = pose_dict[pair[::-1]][None]
-
-    if backend == "jit":
-        pairs = tuple(sorted(Ps))
-        fn = _jitted_sync(pairs, t, 10, True)
-        Ps_sync = np.asarray(fn(
-            tuple(Ps[p].astype(np.float32) for p in pairs),
-            tuple(confidence[p].astype(np.float32) for p in pairs)))
-    else:
-        Ps_sync = S.camera_synchronization(
-            Ps, confidence, N=t, squares=10, center_first_camera=True
-        )
-    poses = pose_np.se3_inverse(Ps_sync[0])
-    poses = poses[return_dict[str(best_canonical_id)]["permutation"]]
-    rel = pose_np.get_relative_pose(poses[0], poses[1:])
-    return np.asarray(mat2quat(jnp.asarray(rel.astype(np.float32))))
 
 
 def _poses_cv2_from_vec(pose_vec, camera_z: float) -> np.ndarray:
