@@ -9,7 +9,7 @@
 # live under /root/repo/artifacts (gitignored, survives container resets);
 # only the re-derivable caches stay in /tmp.
 cd /root/repo || exit 1
-OUT=${FORGE_CURRICULUM_OUT:-/root/repo/artifacts/curriculum_r4}
+OUT=${FORGE_CURRICULUM_OUT:-/root/repo/artifacts/curriculum_r5}
 mkdir -p "$OUT"
 GT_DEFAULT="$OUT/kubric/gt_pose/gt_pose/cpt_last"
 [ -e "$GT_DEFAULT" ] && export FORGE_GT_INIT=${FORGE_GT_INIT:-$GT_DEFAULT}
@@ -23,7 +23,18 @@ python experiments/run_curriculum.py "$OUT" --scale full512 \
     >> "$OUT/driver.log" 2>&1
 echo "=== $(date -u) curriculum rc=$?"
 
-echo "=== $(date -u) rotate kernel validation"
-timeout 2400 python experiments/rotate_probe.py > /tmp/rotate_probe.log 2>&1
-echo "=== $(date -u) rotate probe rc=$?"
-grep -v Warning /tmp/rotate_probe.log | tail -12
+echo "=== $(date -u) refinement-basin sweep (trained GT checkpoint)"
+GT_CPT="$OUT/kubric/gt_pose/gt_pose/cpt_last"
+if [ -e "$GT_CPT" ]; then
+    timeout 3600 python experiments/basin_sweep.py "$GT_CPT" --iters 300 \
+        > /root/repo/artifacts/basin_sweep.log 2>&1
+    echo "=== $(date -u) basin sweep rc=$? (artifacts/basin_sweep.log)"
+    grep -v Warning /root/repo/artifacts/basin_sweep.log | tail -20
+else
+    echo "=== no GT checkpoint at $GT_CPT; basin sweep skipped"
+fi
+
+echo "=== $(date -u) one-command torch-checkpoint CLI demo"
+timeout 3600 python experiments/torch_cpt_demo.py \
+    > /root/repo/artifacts/torch_cpt_demo.log 2>&1
+echo "=== $(date -u) torch cpt demo rc=$? (artifacts/torch_cpt_demo.log)"
