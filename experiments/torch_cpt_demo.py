@@ -48,7 +48,11 @@ def main():
 
     from forge_tpu.run import _build_dataset
     ds = _build_dataset(cfg, "test", synthetic=True, synthetic_seqs=4)
-    sample = ds[0]
+    # array leaves only, with a b=1 batch axis: dataset __getitem__ returns
+    # unbatched samples with host-side strings (seq_name) that must not
+    # reach the jitted init
+    sample = {k: np.asarray(v)[None] for k, v in ds[0].items()
+              if isinstance(v, np.ndarray) or hasattr(v, "dtype")}
     with jax.default_device(jax.devices("cpu")[0]):
         variables = jax.jit(
             lambda s: model.init({"params": jax.random.PRNGKey(0)}, s,
@@ -58,8 +62,13 @@ def main():
     for name, seed in (("joint", 0), ("gt_pose", 1)):
         np.random.seed(seed)
         sd = _synth_torch_sd(variables)
-        # torch training checkpoints carry DDP 'module.' prefixes
-        sd_t = {f"module.{k}": torch.from_numpy(np.asarray(v) * 0.05)
+        # torch training checkpoints carry DDP 'module.' prefixes. BN
+        # running_var must be positive (the synth tree is randn; a negative
+        # variance NaNs eval-mode BN through rsqrt).
+        sd_t = {f"module.{k}": torch.from_numpy(
+                    np.abs(np.asarray(v)) + 0.5
+                    if k.endswith("running_var")
+                    else np.asarray(v) * 0.05)
                 for k, v in sd.items()}
         path = os.path.join(OUT, f"cpt_{name}.pth.tar")
         torch.save({"state_dict": sd_t, "epoch": 500}, path)
